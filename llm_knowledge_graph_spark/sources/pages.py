@@ -1,0 +1,44 @@
+"""Pages source: the engine's scan operator over the webtext corpus.
+
+Replaces the reference's PDF loaders (S1/S2, code/pdf_graphrag.py:785-788,
+code/legal-llm/legal_graphrag.py:381-404) with a columnar scan of the
+Iceberg-style pages table (input_hint shape). At 100 TB the table is an
+Iceberg/parquet dataset partitioned by crawl date; Catalyst pushes the lang
+filter and column pruning into the scan (we never read `html` for rows whose
+`text` is already populated — see operators/html_text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the pages table (parquet here; `format('iceberg')` on a cluster)."""
+    return spark.read.schema(PAGES_SCHEMA).parquet(path)
+
+
+def synthesize_pages(spark: SparkSession, n_pages: int = 200,
+                     seed: int = 42, parallelism: int = 8) -> DataFrame:
+    """Deterministic fixture corpus as a DataFrame (corpus.make_pages)."""
+    from ..corpus import make_pages
+    rows = make_pages(n_pages, seed)
+    return spark.createDataFrame(rows, PAGES_SCHEMA).repartition(parallelism, "url")
+
+
+def write_pages(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Driver-provided testdata tables (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
