@@ -1,0 +1,100 @@
+"""North-star theme 2: entity-merge correctness.
+
+Alias fixtures with known coreference clusters; connected components must
+produce exactly the expected partition of entity ids, idempotently.
+"""
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+
+def test_alias_clusters_exact(kg_result):
+    from llm_knowledge_graph_spark.corpus import expected_alias_clusters
+
+    clusters = expected_alias_clusters()
+    variant_to_cluster = {}
+    for ci, cluster in enumerate(clusters):
+        for v in cluster:
+            variant_to_cluster[v] = ci
+
+    mapping = {(r.type, r.id): r.canonical_id for r in kg_result.mapping.collect()}
+    observed = defaultdict(set)
+    for (t, name), canon in mapping.items():
+        if t != "Person":
+            continue
+        assert name in variant_to_cluster, f"unexpected person: {name!r}"
+        observed[variant_to_cluster[name]].add(canon)
+
+    # no split: every true cluster maps to exactly one canonical id
+    for ci, canons in observed.items():
+        assert len(canons) == 1, (clusters[ci], canons)
+    # no merge: canonical ids unique across true clusters
+    canon_owner = {}
+    for ci, canons in observed.items():
+        c = next(iter(canons))
+        assert c not in canon_owner, (clusters[ci], c)
+        canon_owner[c] = ci
+
+
+def test_canonical_id_is_cluster_member_minimum(kg_result):
+    """Canonical id = lexicographic min of the observed member set —
+    deterministic across runs."""
+    rows = [(r.id, r.canonical_id) for r in
+            kg_result.mapping.filter(F.col("type") == "Person").collect()]
+    members = defaultdict(set)
+    for nid, canon in rows:
+        members[canon].add(nid)
+    for canon, ids in members.items():
+        assert canon == min(ids | {canon})
+
+
+def test_connected_components_chain_and_star(spark):
+    from llm_knowledge_graph_spark.operators.components import connected_components
+
+    verts = spark.createDataFrame(
+        [(c,) for c in "abcdefgh"] + [("z",)], "id string")
+    # chain a-b-c-d, star e<-f,g,h ; z isolated
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("f", "e"), ("g", "e"), ("h", "e")], "a string, b string")
+    comp = {r.id: r.component for r in
+            connected_components(verts, edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "e": "e", "f": "e", "g": "e", "h": "e", "z": "z"}
+
+
+def test_connected_components_idempotent(spark):
+    from llm_knowledge_graph_spark.operators.components import connected_components
+
+    verts = spark.createDataFrame([("x",), ("y",), ("w",)], "id string")
+    edges = spark.createDataFrame([("y", "x"), ("w", "y")], "a string, b string")
+    first = sorted(map(tuple, connected_components(verts, edges).collect()))
+    second = sorted(map(tuple, connected_components(verts, edges).collect()))
+    assert first == second == [("w", "w"), ("x", "w"), ("y", "w")]
+
+
+def test_minhash_lsh_recall_on_aliases(spark):
+    """Every true alias pair must survive LSH blocking + scoring."""
+    from llm_knowledge_graph_spark.corpus import alias_variants
+    from llm_knowledge_graph_spark.operators.linking import similarity_edges
+
+    names = []
+    for first, last in [("John", "Doe"), ("Jane", "Smith"), ("Wei", "Chen")]:
+        names += [(v, "Person") for v in alias_variants(first, last)]
+    names += [("Acme Corp", "Organization"), ("Acme Corporation", "Organization")]
+    df = spark.createDataFrame(names, "id string, type string")
+    got = {(min(r.a, r.b), max(r.a, r.b)) for r in similarity_edges(df).collect()}
+    # within-cluster pairs all present
+    for first, last in [("John", "Doe"), ("Jane", "Smith"), ("Wei", "Chen")]:
+        vs = sorted(alias_variants(first, last))
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                assert (min(vs[i], vs[j]), max(vs[i], vs[j])) in got
+    # and no cross-person links
+    for a, b in got:
+        sa = set(a.split()) - {"Doctor", "Jr"}
+        sb = set(b.split()) - {"Doctor", "Jr"}
+        if {"Acme"} & sa:
+            continue
+        assert sa == sb, (a, b)
