@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines (first-class per the
+build brief): exact, MinHash-LSH near-dup, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes:
+  * exact dedup = one hash aggregation on a digest column (map-side combine);
+  * MinHash-LSH reuses linking.candidate_pairs machinery over word shingles —
+    candidate pairs only form inside LSH buckets, never O(n²);
+  * brute-force pair scoring (ngram_jaccard_pairs / cosine_pairs) is the
+    CORRECTNESS baseline, deliberately bounded by the caller's filter — the
+    scale path is the LSH variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .linking import make_minhash_udf
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_docs, n_distinct_texts, n_dup_docs) — one aggregation."""
+    h = docs.select(F.md5(F.col(text_col)).alias("h"))
+    per = h.groupBy("h").agg(F.count("*").alias("c"))
+    return per.agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_distinct_texts"),
+        (F.sum("c") - F.count("*")).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup(docs: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-key representative per distinct text."""
+    w_h = docs.withColumn("_h", F.md5(F.col(text_col)))
+    keep = w_h.groupBy("_h").agg(F.min(key_col).alias(key_col))
+    return w_h.join(keep, ["_h", key_col], "left_semi").drop("_h")
+
+
+def word_shingles(docs: DataFrame, key_col: str, text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (JVM-side)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # n-gram shingles via transform over start positions
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    ))
+    return docs.select(F.col(key_col).alias("key"), sh.alias("shingles"))
+
+
+def minhash_lsh_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
+                          shingle_words: int = 3, num_perm: int = 64,
+                          bands: int = 16,
+                          jaccard_threshold: float = 0.7) -> DataFrame:
+    """→ (a, b, jaccard) near-duplicate pairs via MinHash-LSH blocking +
+    exact shingle-Jaccard verification on candidates."""
+    rows = num_perm // bands
+    sh = word_shingles(docs, key_col, text_col, shingle_words)
+    minhash_udf = make_minhash_udf(num_perm)
+    sigs = (
+        sh.withColumn("sig", minhash_udf(F.col("shingles")))
+        .withColumn("band", F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.struct(
+                i.alias("band_id"),
+                F.hash(F.slice(F.col("sig"), i * rows + 1, rows)).alias("h")),
+        )))
+        .select("key", "shingles",
+                F.col("band.band_id").alias("band_id"),
+                F.col("band.h").alias("band_hash"))
+    )
+    left = sigs.select("band_id", "band_hash", F.col("key").alias("a"),
+                       F.col("shingles").alias("sa"))
+    right = sigs.select("band_id", "band_hash", F.col("key").alias("b"),
+                        F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, key_col: str, text_col: str = "text",
+                        n: int = 2, threshold: float = 0.5) -> DataFrame:
+    """Brute-force all-pairs word-n-gram Jaccard (correctness baseline —
+    bound the input!). JVM-side self-join + array ops."""
+    sh = word_shingles(docs, key_col, text_col, n)
+    a = sh.select(F.col("key").alias("a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("key").alias("b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return (
+        a.crossJoin(b).filter(F.col("a") < F.col("b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def make_simhash_udf(bits: int = 64):
+    """SimHash over word tokens: sign-sum of per-token blake2b bit vectors."""
+    @pandas_udf("long")
+    def simhash_udf(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        def sim(t: str) -> int:
+            if not t:
+                return 0
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in t.lower().split():
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                    "big")
+                for i in range(bits):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    v |= (1 << i)
+            return v - (1 << 63) if v >= (1 << 63) else v  # to signed long
+        return text.map(sim)
+    return simhash_udf
+
+
+def simhash_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
+                      max_hamming: int = 6) -> DataFrame:
+    """SimHash blocking on 16-bit bands (4 bands; Hamming<=6 pairs almost
+    always collide in ≥1 band), verified with exact popcount distance."""
+    udf = make_simhash_udf()
+    sigs = docs.select(F.col(key_col).alias("key"),
+                       udf(F.col(text_col)).alias("sh"))
+    banded = sigs.select(
+        "key", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_id"),
+                     F.shiftrightunsigned(F.col("sh"), i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("h"))
+            for i in range(4)
+        ])).alias("band"),
+    ).select("key", "sh", F.col("band.band_id").alias("band_id"),
+             F.col("band.h").alias("band_hash"))
+    left = banded.select("band_id", "band_hash", F.col("key").alias("a"),
+                         F.col("sh").alias("sha"))
+    right = banded.select("band_id", "band_hash", F.col("key").alias("b"),
+                          F.col("sh").alias("shb"))
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

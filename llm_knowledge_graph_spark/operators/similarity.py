@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (Q3/Q4 analogues; ref
+query_vector_database code/pdf_graphrag.py:1056-1104).
+
+Two paths:
+  * brute-force cosine top-k — the correctness baseline; one scan, one
+    top-k sort, no UDF (vectors.cosine is pure JVM higher-order exprs);
+  * random-hyperplane LSH bucketing — the scale path: vectors land in
+    2^n_planes buckets; queries probe only their own bucket, so the scan
+    cost drops by ~bucket-count at a small recall cost. The hyperplanes are
+    seed-fixed, so bucketing is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.vectors import cosine
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k rows by cosine to `query_vec` (a Python list). Deterministic
+    tie-break on id. Score rounded to 4 dp for cross-engine stability."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 4).alias("score"),
+    )
+    return (scored.orderBy(F.desc("score"), F.col(id_col)).limit(k))
+
+
+def make_hyperplane_bucket_udf(dim: int, n_planes: int = 8, seed: int = 13):
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+
+    @pandas_udf("int")
+    def bucket_udf(vec: pd.Series) -> pd.Series:
+        def b(v) -> int:
+            x = np.asarray(v, dtype=np.float64)
+            signs = (planes @ x) > 0
+            out = 0
+            for i, s in enumerate(signs):
+                if s:
+                    out |= 1 << i
+            return out
+        return vec.map(b)
+    return bucket_udf
+
+
+def lsh_ann_topk(embeddings: DataFrame, query_vec, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 6, seed: int = 13) -> DataFrame:
+    """ANN top-k: probe only the query's hyperplane bucket."""
+    dim = len(query_vec)
+    bucket_udf = make_hyperplane_bucket_udf(dim, n_planes, seed)
+    rng_planes = np.random.RandomState(seed).randn(n_planes, dim)
+    qb = 0
+    for i, s in enumerate((rng_planes @ np.asarray(query_vec)) > 0):
+        if s:
+            qb |= 1 << i
+    bucketed = embeddings.withColumn("bucket", bucket_udf(F.col(vec_col)))
+    return brute_force_topk(
+        bucketed.filter(F.col("bucket") == qb), query_vec, k, id_col, vec_col)
+
+
+def cosine_pairs(embeddings: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 threshold: float = 0.95) -> DataFrame:
+    """Brute-force near-duplicate pairs by cosine (bound the input; the LSH
+    bucket join is the scale path)."""
+    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b).filter(F.col("a") < F.col("b"))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )
+
+
+def knn_join(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """For each query row: its k nearest corpus neighbors (excluding itself).
+    Window top-k over the scored join — the per-query sort is partitioned,
+    no global orderBy."""
+    from pyspark.sql import Window
+    c = embeddings.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("vc"))
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vq"))
+    scored = (
+        q.crossJoin(c).filter(F.col("qid") != F.col("nbr"))
+        .withColumn("score", F.round(cosine(F.col("vq"), F.col("vc")), 4))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("nbr"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr", "rank", "score"))

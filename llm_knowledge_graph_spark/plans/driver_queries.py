@@ -1,0 +1,482 @@
+"""Driver-facing query catalog: every entry is an operator from SURVEY §2
+(or a training-data-pipeline op from the build brief) expressed Spark-first,
+with a DuckDB oracle in ORACLE_SQL where ANSI SQL can express it.
+
+Cross-engine determinism rules (the driver hash-compares values):
+  * money/double sums go through integer cents
+    (`cast(round(x*100) as bigint)`) — exact in both engines;
+  * derived averages divide exact integers → identical IEEE doubles;
+  * ranked outputs carry explicit deterministic tie-breaks;
+  * cosine scores are ordered on the raw double but only ranks are output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..operators import dedup, similarity
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.8: filter/join/agg/window/topk/setop/json)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style scan+agg (V1-V3-style ratio aggregates live here too)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+         .alias("sum_disc_price_cents"),
+        F.count("*").alias("count_order"),
+    ))
+    return (g.withColumn(
+        "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 4))
+        .withColumn("avg_price_cents",
+                    F.round(F.col("sum_base_price_cents") / F.col("count_order"), 4))
+        .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_customers(spark, sf_dir):
+    """Equi-join + agg + deterministic top-k."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"),
+                 F.count("*").alias("n_orders"))
+            .orderBy(F.desc("spend_cents"), "c_custkey")
+            .limit(10))
+
+
+def q_region_revenue(spark, sf_dir):
+    """5-way star join; dims broadcast (verified in EXPLAIN.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum(rev).alias("revenue_cents"),
+                 F.count("*").alias("n_lineitems"))
+            .orderBy("r_name"))
+
+
+def q_order_priority_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderstatus") != "F")
+            .groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+            .orderBy("o_orderpriority"))
+
+
+def q_market_segment_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"))
+        .withColumn("avg_acctbal",
+                    F.round(F.col("acctbal_cents") / 100.0
+                            / F.col("n_customers"), 4))
+        .orderBy("c_mktsegment"))
+
+
+def q_events_latest_per_user(spark, sf_dir):
+    """Window dedup — V5 'prefer latest' analogue (row_number per key)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+            .orderBy("user_id"))
+
+
+def q_events_type_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"))
+        .withColumn("avg_value",
+                    F.round(F.col("value_cents") / 100.0 / F.col("n"), 4))
+        .orderBy("event_type"))
+
+
+def q_nations_without_suppliers(spark, sf_dir):
+    """Set op / anti-join (suppliers are sparse → non-trivial result)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (n.join(s, n.n_nationkey == s.s_nationkey, "left_anti")
+            .select("n_name").orderBy("n_name"))
+
+
+def q_part_type_counts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.filter(F.col("p_size") > 25)
+            .groupBy("p_type").agg(
+                F.count("*").alias("n"),
+                F.sum(_cents(F.col("p_retailprice"))).alias("retail_cents"))
+            .orderBy("p_type"))
+
+
+def q_events_json_extract(spark, sf_dir):
+    """JSON scalar functions (SURVEY §2.8: from_json/get_json_object)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (e.select("event_id", k.alias("k"))
+            .filter(F.col("k") > 90)
+            .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Document / text surface (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_doc_lang_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang"))
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting over single-space-joined text (exact arithmetic)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round((F.col("n_chars") - (F.size(toks) - 1))
+                / F.size(toks), 4).alias("avg_token_len"))
+        .orderBy(F.desc("n_tokens"), "doc_id")
+        .limit(20))
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup stats: one md5 hash aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(d, "text")
+
+
+def q_doc_stopword_ratio(spark, sf_dir):
+    """Quality scoring: stopword-hit counts per doc (language-marker
+    heuristic); exact integer output."""
+    d = _t(spark, sf_dir, "documents")
+    en = ["the", "a", "of", "and", "to", "is"]
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda x: x.isin(en)))
+    return (d.select("doc_id", "lang",
+                     F.size(toks).alias("n_tokens"),
+                     hits.alias("n_stopword_hits"))
+            .filter(F.col("n_stopword_hits") > 0)
+            .orderBy(F.desc("n_stopword_hits"), "doc_id")
+            .limit(25))
+
+
+def q_word_cooccurrence(spark, sf_dir):
+    """Adjacent-word co-occurrence 'triples' over the bag-of-words corpus —
+    the word-level stand-in for SVO extraction on this fixture."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("subj"),
+                           F.element_at(toks, i + 1).alias("obj")),
+    )
+    return (d.filter(F.size(toks) >= 2)
+            .select(F.explode(pairs).alias("p"))
+            .select(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
+            .groupBy("subj", "obj").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "subj", "obj")
+            .limit(25))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of 64-char prefix, per-lang uniqueness."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.col("text"), 1, 64))
+    return (d.select("lang", fp.alias("fp"))
+            .groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.countDistinct("fp").alias("n_distinct_fp"))
+            .orderBy("lang"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup (brute-force baseline, bounded input;
+    exact integer division → engine-identical doubles)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return (dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.2)
+            .orderBy("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding / similarity surface
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector (Q3/Q4
+    analogue). Rank-only output for cross-engine float stability."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    top = similarity.brute_force_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10)
+    w = Window.orderBy(F.desc("score"), "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id"))
+
+
+def q_cosine_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (bounded brute force)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+            .withColumn("score", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("score") >= 0.25)
+            .select("a", "b")
+            .orderBy("a", "b"))
+
+
+def q_knn_join(spark, sf_dir):
+    """k-NN join: top-3 neighbors for each of the first 20 vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return (similarity.knn_join(e, q, k=3)
+            .select("qid", "nbr", "rank")
+            .orderBy("qid", "rank"))
+
+
+def q_label_centroid_norms(spark, sf_dir):
+    """Per-label centroid computation via posexplode + avg — array agg
+    exercise; exact output via rounding-free integer dims."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (e.select("label", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n_components"),
+                 F.countDistinct("dim").alias("n_dims"))
+            .orderBy("label"))
+
+
+# ---------------------------------------------------------------------------
+# ORACLE SQL (DuckDB) — same names, same column aliases
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: Dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+               COUNT(*) AS count_order,
+               ROUND(SUM(CAST(l_quantity AS BIGINT)) / COUNT(*), 4) AS avg_qty,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / COUNT(*), 4) AS avg_price_cents
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_cents,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY spend_cents DESC, c_custkey
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT r_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "market_segment_stats": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents,
+               ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_acctbal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "events_latest_per_user": """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 ORDER BY user_id
+    """,
+    "events_type_stats": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "nations_without_suppliers": """
+        SELECT n_name FROM nation
+        WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+        ORDER BY n_name
+    """,
+    "part_type_counts": """
+        SELECT p_type, COUNT(*) AS n,
+               SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS retail_cents
+        FROM part WHERE p_size > 25
+        GROUP BY p_type ORDER BY p_type
+    """,
+    "events_json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+        ORDER BY event_id
+    """,
+    "doc_lang_counts": """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "doc_token_stats": """
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               ROUND((n_chars - (len(string_split(text, ' ')) - 1))
+                     / len(string_split(text, ' ')), 4) AS avg_token_len
+        FROM documents
+        ORDER BY n_tokens DESC, doc_id LIMIT 20
+    """,
+    "doc_exact_dedup": """
+        SELECT SUM(c) AS n_docs, COUNT(*) AS n_distinct_texts,
+               SUM(c) - COUNT(*) AS n_dup_docs
+        FROM (SELECT md5(text) h, COUNT(*) c FROM documents GROUP BY 1)
+    """,
+    "doc_stopword_ratio": """
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to','is'))) AS n_stopword_hits
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','to','is'))) > 0
+        ORDER BY n_stopword_hits DESC, doc_id LIMIT 25
+    """,
+    "word_cooccurrence": """
+        WITH t AS (SELECT string_split(text, ' ') w FROM documents),
+        pairs AS (
+            SELECT w[i] AS subj, w[i+1] AS obj
+            FROM t, unnest(range(1, len(w))) r(i)
+            WHERE len(w) >= 2
+        )
+        SELECT subj, obj, COUNT(*) AS n FROM pairs
+        GROUP BY subj, obj ORDER BY n DESC, subj, obj LIMIT 25
+    """,
+    "doc_fingerprint": """
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(substr(text, 1, 64))) AS n_distinct_fp
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "ngram_jaccard_pairs": """
+        WITH sh AS (
+            SELECT doc_id AS key,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split(lower(trim(text)), ' ')) - 1, 1) + 1),
+                       i -> array_to_string(string_split(lower(trim(text)), ' ')[i:i+1], ' ')
+                   )) AS shingles
+            FROM documents WHERE doc_id < 150
+        )
+        SELECT a.key AS a, b.key AS b,
+               len(list_intersect(a.shingles, b.shingles))
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a, sh b
+        WHERE a.key < b.key
+          AND len(list_intersect(a.shingles, b.shingles))
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+        ORDER BY a, b
+    """,
+    "cosine_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding::DOUBLE[], q.v), 4) AS score
+            FROM embeddings, q WHERE vec_id <> 0
+        )
+        SELECT ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id
+        FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    "cosine_near_dup_pairs": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 100)
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.v, b.v) >= 0.25
+        ORDER BY a, b
+    """,
+    "knn_join": """
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] vq FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id nbr, embedding::DOUBLE[] vc FROM embeddings),
+        scored AS (
+            SELECT qid, nbr,
+                   ROUND(list_cosine_similarity(vq, vc), 4) AS score
+            FROM q, c WHERE qid <> nbr
+        )
+        SELECT qid, nbr, rank FROM (
+            SELECT qid, nbr,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, nbr) AS rank
+            FROM scored
+        ) WHERE rank <= 3 ORDER BY qid, rank
+    """,
+    "label_centroid_norms": """
+        SELECT label, COUNT(*) AS n_components,
+               COUNT(DISTINCT dim) AS n_dims
+        FROM (SELECT label, unnest(range(len(embedding))) AS dim
+              FROM embeddings)
+        GROUP BY label ORDER BY label
+    """,
+}
+
+
+SQL_QUERIES: Dict[str, Callable] = {
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "region_revenue": q_region_revenue,
+    "order_priority_counts": q_order_priority_counts,
+    "market_segment_stats": q_market_segment_stats,
+    "events_latest_per_user": q_events_latest_per_user,
+    "events_type_stats": q_events_type_stats,
+    "nations_without_suppliers": q_nations_without_suppliers,
+    "part_type_counts": q_part_type_counts,
+    "events_json_extract": q_events_json_extract,
+    "doc_lang_counts": q_doc_lang_counts,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_stopword_ratio": q_doc_stopword_ratio,
+    "word_cooccurrence": q_word_cooccurrence,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "cosine_topk": q_cosine_topk,
+    "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
+    "knn_join": q_knn_join,
+    "label_centroid_norms": q_label_centroid_norms,
+}
