@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Headline set = the KG-construction pipeline (the engine's flagship job,
+timed end-to-end as kg_build) + representative operators from each family
+(scan+agg, star join, window dedup, text analysis, near-dup, similarity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.plans import driver_queries as DQ
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+    from llm_knowledge_graph_spark.session import get_spark
+    from llm_knowledge_graph_spark.sources.pages import synthesize_pages
+
+    spark = get_spark(app_name="kgspark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: full KG construction over a corpus scaled with sf
+    n_pages = max(400, int(20000 * sf))
+
+    def kg_build():
+        pages = synthesize_pages(spark, n_pages, seed=42,
+                                 parallelism=2 * cpus)
+        res = build_kg(spark, pages, PipelineConfig())
+        # force the full DAG: canonical graph + counts
+        res.canonical_edges.count()
+        res.canonical_nodes.count()
+
+    timed("kg_build", kg_build)
+
+    bench_sql = [
+        "pricing_summary", "region_revenue", "top_customers",
+        "events_latest_per_user", "word_cooccurrence", "doc_token_stats",
+        "ngram_jaccard_pairs", "cosine_topk", "knn_join",
+    ]
+    for name in bench_sql:
+        fn = DQ.SQL_QUERIES[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    from llm_knowledge_graph_spark.operators.dedup import minhash_lsh_near_dups
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("minhash_near_dup",
+          lambda: minhash_lsh_near_dups(docs, "doc_id", "text").count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "kg_pages": n_pages,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

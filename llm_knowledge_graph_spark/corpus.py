@@ -119,28 +119,34 @@ def make_html(text: str, url: str) -> bytes:
     return doc.encode("utf-8")
 
 
+_EPOCH = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def make_page(i: int, seed: int = 42, n_sites: int = 10) -> Dict[str, Any]:
+    """One page as a pure function of (seed, i) — enables DISTRIBUTED corpus
+    synthesis (each Spark task generates its own index range; no driver
+    bottleneck, no cross-row RNG state)."""
+    rng = random.Random(f"{seed}:{i}")
+    lang = LANGS[rng.randrange(len(LANGS))]
+    site = rng.randrange(max(1, n_sites))
+    url = f"https://example.org/site{site}/page{i}"
+    text = "\n".join(_sentences(rng, i))
+    html_bytes = make_html(text, url)
+    # ~30% of rows carry html only → the pipeline must extract text
+    text_col = None if rng.random() < 0.30 else text
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + datetime.timedelta(seconds=i * 137),
+        "html": html_bytes,
+        "text": text_col,
+        "lang": lang,
+    }
+
+
 def make_pages(n_pages: int = 200, seed: int = 42) -> List[Dict[str, Any]]:
-    """The pages corpus as plain dicts (driver-side; Spark reads via
-    createDataFrame or a parquet round-trip)."""
-    rng = random.Random(seed)
-    epoch = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
-    pages: List[Dict[str, Any]] = []
-    for i in range(n_pages):
-        lang = LANGS[rng.randrange(len(LANGS))]
-        site = rng.randrange(1 + n_pages // 20)
-        url = f"https://example.org/site{site}/page{i}"
-        text = "\n".join(_sentences(rng, i))
-        html_bytes = make_html(text, url)
-        # ~30% of rows carry html only → the pipeline must extract text
-        text_col = None if rng.random() < 0.30 else text
-        pages.append({
-            "url": url,
-            "warc_ts": epoch + datetime.timedelta(seconds=i * 137),
-            "html": html_bytes,
-            "text": text_col,
-            "lang": lang,
-        })
-    return pages
+    """The pages corpus as plain dicts (driver-side oracle path)."""
+    n_sites = 1 + n_pages // 20
+    return [make_page(i, seed, n_sites) for i in range(n_pages)]
 
 
 def expected_alias_clusters() -> List[List[str]]:

@@ -43,14 +43,17 @@ def exact_dedup(docs: DataFrame, key_col: str, text_col: str = "text") -> DataFr
 def word_shingles(docs: DataFrame, key_col: str, text_col: str = "text",
                   n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc (JVM-side)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # n-gram shingles via transform over start positions
+    # materialize the token array once (an inline split() expression would
+    # re-evaluate per lambda element — O(n^2))
+    with_toks = docs.withColumn(
+        "_toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    toks = F.col("_toks")
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     sh = F.array_distinct(F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     ))
-    return docs.select(F.col(key_col).alias("key"), sh.alias("shingles"))
+    return with_toks.select(F.col(key_col).alias("key"), sh.alias("shingles"))
 
 
 def minhash_lsh_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",

@@ -52,9 +52,10 @@ def with_shingles(names: DataFrame, col: str = "id", n: int = 3) -> DataFrame:
     Pure Spark exprs: sequence + transform + substr — stays inside
     whole-stage codegen.
     """
-    lowered = normalized_name(F.col(col))
+    with_norm = names.withColumn("_norm", normalized_name(F.col(col)))
+    lowered = F.col("_norm")
     k = F.greatest(F.length(lowered) - F.lit(n - 1), F.lit(1))
-    return names.withColumn(
+    return with_norm.withColumn(
         "shingles",
         F.array_distinct(
             F.transform(
@@ -62,7 +63,7 @@ def with_shingles(names: DataFrame, col: str = "id", n: int = 3) -> DataFrame:
                 lambda i: lowered.substr(i, F.lit(n)),
             )
         ),
-    )
+    ).drop("_norm")
 
 
 def make_minhash_udf(num_perm: int, seed: int = 7):

@@ -158,12 +158,14 @@ def q_doc_lang_counts(spark, sf_dir):
 def q_doc_token_stats(spark, sf_dir):
     """Token counting over single-space-joined text (exact arithmetic)."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # materialize the token array once — re-referencing a split() EXPRESSION
+    # inside other expressions re-evaluates the split per use
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
     return (d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.round((F.col("n_chars") - (F.size(toks) - 1))
-                / F.size(toks), 4).alias("avg_token_len"))
+        F.size("toks").alias("n_tokens"),
+        F.round((F.col("n_chars") - (F.size("toks") - 1))
+                / F.size("toks"), 4).alias("avg_token_len"))
         .orderBy(F.desc("n_tokens"), "doc_id")
         .limit(20))
 
@@ -179,10 +181,10 @@ def q_doc_stopword_ratio(spark, sf_dir):
     heuristic); exact integer output."""
     d = _t(spark, sf_dir, "documents")
     en = ["the", "a", "of", "and", "to", "is"]
-    toks = F.split(F.col("text"), " ")
-    hits = F.size(F.filter(toks, lambda x: x.isin(en)))
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    hits = F.size(F.filter(F.col("toks"), lambda x: x.isin(en)))
     return (d.select("doc_id", "lang",
-                     F.size(toks).alias("n_tokens"),
+                     F.size("toks").alias("n_tokens"),
                      hits.alias("n_stopword_hits"))
             .filter(F.col("n_stopword_hits") > 0)
             .orderBy(F.desc("n_stopword_hits"), "doc_id")
@@ -193,7 +195,8 @@ def q_word_cooccurrence(spark, sf_dir):
     """Adjacent-word co-occurrence 'triples' over the bag-of-words corpus —
     the word-level stand-in for SVO extraction on this fixture."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.struct(F.element_at(toks, i).alias("subj"),

@@ -48,8 +48,9 @@ def build_kg(spark: SparkSession, pages: DataFrame,
         allowed_relationships=cfg.allowed_relationships,
     ).persist()
 
-    nodes = merge.merge_nodes(extract.nodes_from(gd))
-    edges = merge.merge_edges(extract.edges_from(gd))
+    # persisted: consumed by linking, mapping, canonical rewrite and callers
+    nodes = merge.merge_nodes(extract.nodes_from(gd)).persist()
+    edges = merge.merge_edges(extract.edges_from(gd)).persist()
 
     # entity linking + canonicalization (north rule; beyond the reference's
     # exact-(label,id) MERGE — ref code/pdf_graphrag.py:277-300)

@@ -29,10 +29,25 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 
 def synthesize_pages(spark: SparkSession, n_pages: int = 200,
                      seed: int = 42, parallelism: int = 8) -> DataFrame:
-    """Deterministic fixture corpus as a DataFrame (corpus.make_pages)."""
-    from ..corpus import make_pages
-    rows = make_pages(n_pages, seed)
-    return spark.createDataFrame(rows, PAGES_SCHEMA).repartition(parallelism, "url")
+    """Deterministic fixture corpus, synthesized DISTRIBUTED: each task
+    generates its own index range via the pure per-index function
+    (corpus.make_page) inside mapInPandas — no driver bottleneck, identical
+    rows to the driver-side corpus.make_pages oracle."""
+    import pandas as pd
+
+    from ..corpus import make_page
+
+    n_sites = 1 + n_pages // 20
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_page(int(i), seed, n_sites) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = out["warc_ts"].map(lambda d: d.replace(tzinfo=None))
+            yield out
+
+    return (spark.range(0, n_pages, numPartitions=parallelism)
+            .mapInPandas(gen, PAGES_SCHEMA))
 
 
 def write_pages(df: DataFrame, path: str) -> None:
