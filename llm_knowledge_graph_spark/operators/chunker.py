@@ -20,13 +20,16 @@ _CHUNK_ARR = ("array<struct<chunk_id:long,text:string,"
 
 
 def make_chunk_udf(chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP):
-    @pandas_udf(_CHUNK_ARR)
+    @pandas_udf("string")
     def chunk_udf(text: pd.Series) -> pd.Series:
+        # JSON transfer + JVM-side from_json: python→arrow conversion of
+        # array<struct> falls off pyarrow's vectorized path (see extract.py)
+        import json
         return text.map(
-            lambda t: [
+            lambda t: json.dumps([
                 {"chunk_id": cid, "text": ct, "char_start": cs, "char_end": ce}
                 for cid, ct, cs, ce in chunk_text(t or "", chunk_size, overlap)
-            ]
+            ], ensure_ascii=False)
         )
     return chunk_udf
 
@@ -37,7 +40,8 @@ def chunk_pages(pages: DataFrame, chunk_size: int = CHUNK_SIZE,
     chunk_udf = make_chunk_udf(chunk_size, overlap)
     return (
         pages
-        .select("url", F.explode(chunk_udf(F.col("text"))).alias("c"))
+        .select("url", F.explode(
+            F.from_json(chunk_udf(F.col("text")), _CHUNK_ARR)).alias("c"))
         .select(
             "url",
             F.col("c.chunk_id").alias("chunk_id"),

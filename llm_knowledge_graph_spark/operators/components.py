@@ -54,20 +54,64 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return labels
 
 
-def canonical_mapping(nodes: DataFrame, sim_edges: DataFrame,
-                      max_iterations: int = 25) -> DataFrame:
-    """nodes(id, type) + sim_edges(a, b, type) → (type, id, canonical_id).
+def driver_union_find(edges: list) -> dict:
+    """Union-find over (a, b) pairs — the small-graph fast path. The
+    similarity graph holds only LINKED DISTINCT NAMES (≪ corpus size), so
+    below a size threshold a driver-side pass beats ~10 distributed jobs.
+    Returns {id: canonical_id} with canonical = min of member set."""
+    parent: dict = {}
 
-    Components computed per (type, id) — the type is folded into the vertex
-    key so equal names of different types never merge.
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def canonical_mapping(nodes: DataFrame, sim_edges: DataFrame,
+                      max_iterations: int = 25,
+                      driver_threshold: int = 200_000) -> DataFrame:
+    """sim_edges(a, b, type) → (type, id, canonical_id) for LINKED ids only
+    (absent id ⇒ identity; rewrite_canonical coalesces).
+
+    Components per (type, id): the type is folded into the vertex key so
+    equal names of different types never merge. Vertices are restricted to
+    similarity-edge endpoints — linked distinct names, a tiny set relative
+    to the corpus — so canonicalization cost is corpus-size-independent.
+    Below `driver_threshold` edges, a driver union-find replaces the
+    distributed loop (same result, ~10 fewer Spark jobs); above it, the
+    checkpointed min-label propagation runs.
     """
     sep = "\x1f"  # unit separator — never appears in normalized ids/types
-    verts = nodes.select(
-        F.concat_ws(sep, F.col("type"), F.col("id")).alias("id")).distinct()
+    spark = sim_edges.sparkSession
     edg = sim_edges.select(
         F.concat_ws(sep, F.col("type"), F.col("a")).alias("a"),
         F.concat_ws(sep, F.col("type"), F.col("b")).alias("b"),
     )
+
+    n_edges = edg.count()
+    if n_edges == 0:
+        return spark.createDataFrame(
+            [], "type string, id string, canonical_id string")
+    if n_edges <= driver_threshold:
+        pairs = [(r.a, r.b) for r in edg.collect()]
+        mapping = driver_union_find(pairs)
+        rows = [(k.split(sep, 1)[0], k.split(sep, 1)[1],
+                 v.split(sep, 1)[1]) for k, v in mapping.items()]
+        return spark.createDataFrame(
+            rows, "type string, id string, canonical_id string")
+
+    verts = (edg.select(F.col("a").alias("id"))
+             .union(edg.select(F.col("b").alias("id"))).distinct())
     comp = connected_components(verts, edg, max_iterations)
     split_id = F.split(F.col("id"), sep, 2)
     split_comp = F.split(F.col("component"), sep, 2)

@@ -63,14 +63,18 @@ def make_graphdoc_udf(with_embedding: bool = False,
                 e["subj"] = prefix
         return gd
 
-    @pandas_udf(GD_TYPE)
+    @pandas_udf("string")
     def graphdoc_udf(url: pd.Series, chunk_id: pd.Series,
-                     text: pd.Series) -> pd.DataFrame:
-        out = [
-            _one(u, int(c), t)
+                     text: pd.Series) -> pd.Series:
+        # Returns JSON, not the nested Arrow struct: pyarrow's python→arrow
+        # conversion of struct<array<struct<map>>> falls off the vectorized
+        # path and is ~30x slower than string transfer + JVM-side from_json
+        # (measured: 14.8s vs 0.4s on 800 chunks at local[32]).
+        import json
+        return pd.Series([
+            json.dumps(_one(u, int(c), t), ensure_ascii=False)
             for u, c, t in zip(url, chunk_id, text)
-        ]
-        return pd.DataFrame(out)
+        ])
 
     return graphdoc_udf
 
@@ -82,8 +86,85 @@ def with_graph_docs(chunks: DataFrame, with_embedding: bool = False,
     udf = make_graphdoc_udf(with_embedding, allowed_entities,
                             allowed_relationships)
     return chunks.withColumn(
-        "gd", udf(F.col("url"), F.col("chunk_id"), F.col("text"))
+        "gd",
+        F.from_json(udf(F.col("url"), F.col("chunk_id"), F.col("text")),
+                    GD_TYPE),
     )
+
+
+FLAT_SCHEMA = ("url string, chunk_id long, kind string, a string, "
+               "a_type string, pred string, b string, b_type string, "
+               "props_json string")
+
+
+def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
+                       overlap: int = 128, with_embedding: bool = False) -> DataFrame:
+    """FUSED per-document path: html→text → chunk → extract → graphdoc in
+    ONE mapInPandas stage over pages.
+
+    Why fused: each python-UDF stage costs a worker fleet (fork + numpy/
+    pandas imports) and a JVM↔Python Arrow round-trip of the intermediate
+    (chunk text is ~1x the corpus). Fusing the chunk-local pipeline into a
+    single stage makes the whole extract path one Python crossing and keeps
+    the output schema FLAT (no nested maps/arrays → fast Arrow path).
+
+    Output: long format; kind='n' rows are nodes (a=id, a_type=type),
+    kind='e' rows are edges (a=subj .. b=obj). properties as JSON string —
+    parsed JVM-side by nodes_from_flat/edges_from_flat.
+    """
+    import json
+    from typing import Iterator
+
+    from ..reference_impl import (build_graph_document, chunk_text,
+                                  extract_chunk, html_to_text)
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            rows = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                if text is None:
+                    text = html_to_text(html)
+                for cid, ctext, _cs, _ce in chunk_text(text, chunk_size, overlap):
+                    gd = build_graph_document(
+                        extract_chunk(ctext), cid, ctext,
+                        with_embedding=with_embedding)
+                    prefix = f"{url}#chunk_{cid}"
+                    for n in gd["nodes"]:
+                        nid = prefix if n["type"] == "Chunk" else n["id"]
+                        rows.append((url, cid, "n", nid, n["type"], None,
+                                     None, None,
+                                     json.dumps(n["properties"],
+                                                ensure_ascii=False)))
+                    for e in gd["edges"]:
+                        subj = prefix if e["subj_type"] == "Chunk" else e["subj"]
+                        rows.append((url, cid, "e", subj, e["subj_type"],
+                                     e["pred"], e["obj"], e["obj_type"],
+                                     json.dumps(e["properties"],
+                                                ensure_ascii=False)))
+            yield pd.DataFrame(rows, columns=[
+                "url", "chunk_id", "kind", "a", "a_type", "pred", "b",
+                "b_type", "props_json"])
+
+    return pages.select("url", "html", "text").mapInPandas(gen, FLAT_SCHEMA)
+
+
+_PROPS = "map<string,string>"
+
+
+def nodes_from_flat(flat: DataFrame) -> DataFrame:
+    return (flat.filter(F.col("kind") == "n")
+            .select(F.col("a").alias("id"), F.col("a_type").alias("type"),
+                    F.from_json("props_json", _PROPS).alias("properties"),
+                    "url", "chunk_id"))
+
+
+def edges_from_flat(flat: DataFrame) -> DataFrame:
+    return (flat.filter(F.col("kind") == "e")
+            .select(F.col("a").alias("subj"), F.col("a_type").alias("subj_type"),
+                    "pred",
+                    F.col("b").alias("obj"), F.col("b_type").alias("obj_type"),
+                    F.from_json("props_json", _PROPS).alias("properties"),
+                    "url", "chunk_id"))
 
 
 def nodes_from(gd_df: DataFrame) -> DataFrame:

@@ -39,18 +39,33 @@ def build_kg(spark: SparkSession, pages: DataFrame,
              cfg: PipelineConfig = PipelineConfig(),
              alias_dict: Optional[DataFrame] = None) -> KGResult:
     pages = html_text.filter_langs(pages, cfg.supported_langs)
-    pages = html_text.with_extracted_text(pages)
-    chunks = chunker.chunk_pages(pages, cfg.chunk_size, cfg.chunk_overlap)
 
-    gd = extract.with_graph_docs(
-        chunks, with_embedding=cfg.with_chunk_embeddings,
-        allowed_entities=cfg.allowed_entities,
-        allowed_relationships=cfg.allowed_relationships,
-    ).persist()
+    # FUSED per-document path: html→text + chunk + extract + graphdoc in one
+    # mapInPandas stage (one Python crossing for the whole corpus — see
+    # extract.extract_pages_flat). The standalone chunker/extract operators
+    # remain for per-stage use; strict-mode filtering applies via N9 exprs.
+    flat = extract.extract_pages_flat(
+        pages, cfg.chunk_size, cfg.chunk_overlap,
+        with_embedding=cfg.with_chunk_embeddings).persist()
 
-    # persisted: consumed by linking, mapping, canonical rewrite and callers
-    nodes = merge.merge_nodes(extract.nodes_from(gd)).persist()
-    edges = merge.merge_edges(extract.edges_from(gd)).persist()
+    nodes_raw = extract.nodes_from_flat(flat)
+    edges_raw = extract.edges_from_flat(flat)
+    if cfg.allowed_entities is not None or cfg.allowed_relationships is not None:
+        nodes_raw, edges_raw = strict_filter(
+            nodes_raw, edges_raw,
+            cfg.allowed_entities or [], cfg.allowed_relationships or [])
+
+    # localCheckpoint (eager) rather than persist: nodes/edges are consumed
+    # by 3+ downstream stages, and truncating the logical plan here keeps
+    # Catalyst analysis cost flat for every consumer (re-analyzing the full
+    # UDF-heavy extraction tree per downstream action dominates small-run
+    # wall time). On a cluster with executor churn, swap for
+    # reliable checkpoint() or the operators/checkpoint.py stage files.
+    nodes = merge.merge_nodes(nodes_raw).localCheckpoint()
+    edges = merge.merge_edges(edges_raw).localCheckpoint()
+    flat.unpersist()
+    chunks = chunker.chunk_pages(html_text.with_extracted_text(pages),
+                                 cfg.chunk_size, cfg.chunk_overlap)
 
     # entity linking + canonicalization (north rule; beyond the reference's
     # exact-(label,id) MERGE — ref code/pdf_graphrag.py:277-300)
@@ -62,14 +77,35 @@ def build_kg(spark: SparkSession, pages: DataFrame,
     if alias_dict is not None:
         sim = sim.unionByName(
             linking.alias_dictionary_links(entity_nodes, alias_dict))
-    sim = sim.persist()
+    sim = sim.localCheckpoint()
     mapping = components.canonical_mapping(
         entity_nodes.select("id", "type"), sim, cfg.max_cc_iterations
-    ).persist()
+    ).localCheckpoint()
 
     canonical_nodes, canonical_edges = rewrite_canonical(nodes, edges, mapping)
     return KGResult(chunks, nodes, edges, sim, mapping,
                     canonical_nodes, canonical_edges)
+
+
+def strict_filter(nodes_raw: DataFrame, edges_raw: DataFrame,
+                  allowed_entities, allowed_relationships):
+    """N9 strict-mode filter as DataFrame ops (ref _filter_by_strict_mode,
+    code/pdf_graphrag.py:509-564): Chunk nodes and HAS edges are exempt
+    (ref :539-541, :555-557); edges to dropped nodes are dropped via
+    per-chunk semi-joins."""
+    kept = nodes_raw.filter(
+        (F.col("type") == "Chunk") | F.col("type").isin(list(allowed_entities)))
+    e = edges_raw.filter(
+        (F.col("pred") == "HAS") | F.col("pred").isin(list(allowed_relationships)))
+    kn = kept.select("url", "chunk_id", F.col("id").alias("_kid"),
+                     F.col("type").alias("_ktype"))
+    e = e.join(kn, (e["url"] == kn["url"]) & (e["chunk_id"] == kn["chunk_id"])
+               & (e["subj"] == kn["_kid"]) & (e["subj_type"] == kn["_ktype"]),
+               "left_semi")
+    e = e.join(kn, (e["url"] == kn["url"]) & (e["chunk_id"] == kn["chunk_id"])
+               & (e["obj"] == kn["_kid"]) & (e["obj_type"] == kn["_ktype"]),
+               "left_semi")
+    return kept, e
 
 
 def rewrite_canonical(nodes: DataFrame, edges: DataFrame,

@@ -1,0 +1,131 @@
+"""Two-parallelism scaling benchmark (BASELINE.json north rule: throughput
+at N and 4N executors with scaling efficiency >= 0.8).
+
+The sandbox has one machine, so parallelism levels are local[N] vs local[4N]
+(same input, same job — the documented proxy). Protocol:
+  1. synthesize the pages corpus ONCE to parquet (excluded from timing);
+  2. per parallelism level, in a fresh process: warm up python workers/JIT
+     on a small slice, then run the full KG build T times; report the MIN
+     (the principled estimator under scheduler noise);
+  3. efficiency = (t_N / t_4N) / 4.
+
+Usage: python tools/scaling_bench.py [n_pages] [n_lo] [n_hi] [trials]
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from llm_knowledge_graph_spark.session import get_spark
+from llm_knowledge_graph_spark.sources.pages import read_pages
+from llm_knowledge_graph_spark.config import PipelineConfig
+from llm_knowledge_graph_spark.plans.pipeline import build_kg
+
+cores, path, trials = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+# one task per core for the fused-extract stage; input cached so every
+# trial reads identical in-memory partitions
+pages = read_pages(spark, path).repartition(cores).persist()
+n = pages.count()
+warm = build_kg(spark, pages.limit(64), PipelineConfig())
+warm.canonical_edges.count()
+best = None
+for i in range(trials):
+    t0 = time.perf_counter()
+    res = build_kg(spark, pages, PipelineConfig())
+    ne = res.canonical_edges.count(); nn = res.canonical_nodes.count()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+    print(f"# trial {{i}}: {{dt:.2f}}s", file=sys.stderr)
+print(f"{{best:.3f}} {{n}} {{nn}} {{ne}}")
+spark.stop()
+"""
+
+
+def run_level(cores: int, path: str, trials: int):
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER.format(repo=str(REPO)),
+         str(cores), path, str(trials)],
+        capture_output=True, text=True, timeout=3600)
+    last = [l for l in out.stdout.splitlines() if l.strip()][-1]
+    best, n, nn, ne = last.split()
+    return float(best), int(n), int(nn), int(ne)
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    path = f"/tmp/scaling_pages_{n_pages}"
+
+    if not os.path.exists(path + "/_SUCCESS"):
+        sys.path.insert(0, str(REPO))
+        from llm_knowledge_graph_spark.session import get_spark
+        from llm_knowledge_graph_spark.sources.pages import (synthesize_pages,
+                                                             write_pages)
+        spark = get_spark(master="local[32]", shuffle_partitions=64)
+        spark.sparkContext.setLogLevel("ERROR")
+        write_pages(synthesize_pages(spark, n_pages, seed=42,
+                                     parallelism=256), path)
+        spark.stop()
+
+    t_lo, n, nn_lo, ne_lo = run_level(n_lo, path, trials)
+    t_hi, _, nn_hi, ne_hi = run_level(n_hi, path, trials)
+    assert (nn_lo, ne_lo) == (nn_hi, ne_hi), "outputs differ across levels!"
+
+    speedup = t_lo / t_hi
+    eff = speedup / (n_hi / n_lo)
+    result = {
+        "n_pages": n, "cores_lo": n_lo, "cores_hi": n_hi,
+        "time_lo_sec": round(t_lo, 2), "time_hi_sec": round(t_hi, 2),
+        "docs_per_sec_lo": round(n / t_lo, 1),
+        "docs_per_sec_hi": round(n / t_hi, 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "nodes": nn_lo, "edges": ne_lo,
+        "trials": trials,
+    }
+    print(json.dumps(result))
+
+    os.makedirs(REPO / "BENCH", exist_ok=True)
+    with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — two-parallelism scaling (north rule)
+
+Same job (full KG construction: fused html→text/chunk/extract →
+merge → MinHash-LSH link → canonicalize → counts) on the same input
+({n:,} synthesized Common-Crawl-style pages, seed=42, parquet,
+input repartitioned to one task per core), measured as min of
+{trials} trials after a warmup build (python-worker fleet + JIT).
+
+| parallelism | wall time | throughput |
+|---|---|---|
+| local[{n_lo}] | {t_lo:.2f} s | {n / t_lo:,.0f} docs/sec |
+| local[{n_hi}] | {t_hi:.2f} s | {n / t_hi:,.0f} docs/sec |
+
+**speedup {n_lo}→{n_hi} cores: {speedup:.2f}x → scaling efficiency
+(speedup / {n_hi // n_lo}) = {eff:.3f}** (target ≥ 0.8)
+
+Output identical at both levels: {nn_lo:,} canonical nodes,
+{ne_lo:,} canonical edges.
+
+Sandbox proxy note: this box is one 32-core VM, so "N vs 4N
+executors" is evidenced as local[{n_lo}] vs local[{n_hi}] on identical
+input, per the round brief. On a real cluster the same job submits via
+`spark-submit --py-files <package.zip> tools/run_pipeline.py`.
+""")
+
+
+if __name__ == "__main__":
+    main()
