@@ -25,4 +25,7 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm guard: cosine with a zero vector is defined as 0 here
+    # (try_divide semantics) so ANSI mode never throws on degenerate input
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)

@@ -95,7 +95,7 @@ def find_by_name_contains(nodes: DataFrame, needle: str,
 
 
 QUERY_KEYWORDS = {
-    "definition": ["means", "definition", "defined"],
+    "definition": ["mean", "definition", "defined"],
     "citation": ["cite", "cites", "citation", "§"],
     "obligation": ["shall", "must", "obligation"],
 }

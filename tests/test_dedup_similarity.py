@@ -1,0 +1,118 @@
+"""Tests for training-data-pipeline operators: dedup family, similarity
+search, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),          # near dup of 0
+        (3, "a completely different document about spark pipelines"),
+        (4, "spark pipelines process data at scale every day"),
+        (5, "the quick brown fox jumps over the lazy dog today"),    # near dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from llm_knowledge_graph_spark.operators.dedup import (exact_dedup,
+                                                           exact_dedup_stats)
+    stats = exact_dedup_stats(docs, "text").first()
+    assert stats.n_docs == 6 and stats.n_distinct_texts == 5
+    assert stats.n_dup_docs == 1
+    kept = exact_dedup(docs, "doc_id", "text")
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {0, 2, 3, 4, 5}  # min doc_id representative survives
+
+
+def test_minhash_lsh_near_dups(docs):
+    from llm_knowledge_graph_spark.operators.dedup import minhash_lsh_near_dups
+    pairs = {(r.a, r.b) for r in
+             minhash_lsh_near_dups(docs, "doc_id", "text",
+                                   shingle_words=2,
+                                   jaccard_threshold=0.5).collect()}
+    assert (0, 1) in pairs          # exact dup always found
+    assert (0, 5) in pairs or (1, 5) in pairs  # near dup found
+    assert not any(a == 3 or b == 3 for a, b in pairs)  # unrelated not linked
+
+
+def test_ngram_jaccard_exact_values(docs):
+    from llm_knowledge_graph_spark.operators.dedup import ngram_jaccard_pairs
+    got = {(r.a, r.b): r.jaccard for r in
+           ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
+                               threshold=0.4).collect()}
+    assert got[(0, 1)] == 1.0
+
+
+def test_simhash_near_dups(docs):
+    from llm_knowledge_graph_spark.operators.dedup import simhash_near_dups
+    pairs = {(r.a, r.b): r.hamming for r in
+             simhash_near_dups(docs, "doc_id", "text",
+                               max_hamming=16).collect()}
+    assert pairs.get((0, 1)) == 0   # identical text → identical simhash
+    assert (0, 2) in pairs          # one-word change → small hamming
+
+
+def test_brute_force_topk_and_lsh_ann(spark):
+    from llm_knowledge_graph_spark.operators.similarity import (
+        brute_force_topk, lsh_ann_topk)
+    import math
+    dim = 8
+    rows = []
+    for i in range(50):
+        v = [math.sin(0.1 * i * (d + 1)) for d in range(dim)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[7][1]
+    top = brute_force_topk(df.filter(F.col("vec_id") != 7), q, k=5)
+    got = [r.vec_id for r in top.collect()]
+    assert len(got) == 5
+    # vectors adjacent in i are most similar under this construction
+    assert got[0] in (6, 8)
+    ann = lsh_ann_topk(df.filter(F.col("vec_id") != 7), q, k=5)
+    ann_ids = [r.vec_id for r in ann.collect()]
+    assert 0 < len(ann_ids) <= 5
+    # ANN results are genuinely similar (recall isn't 1.0 by design, but
+    # whatever it returns must come from the brute-force top-15)
+    brute15 = {r.vec_id for r in
+               brute_force_topk(df.filter(F.col("vec_id") != 7), q, 15).collect()}
+    assert set(ann_ids) <= brute15
+
+
+def test_knn_join_rank_contract(spark):
+    from llm_knowledge_graph_spark.operators.similarity import knn_join
+    rows = [(i, [float(i == d) for d in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_join(df, df.filter(F.col("vec_id") < 2), k=2)
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r.qid, []).append(r.rank)
+    assert all(sorted(v) == [1, 2] for v in per_q.values())
+
+
+def test_multimodal_feature_plumbing(spark):
+    from llm_knowledge_graph_spark.operators.multimodal import (
+        extract_features, synthesize_media)
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.feature) == 16
+        assert r.n_bytes > 0
+    # deterministic: same payload → same feature
+    again = {r.media_id: r.feature for r in
+             extract_features(media, fake=True).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    from llm_knowledge_graph_spark.operators.multimodal import (
+        extract_features, synthesize_media)
+    with pytest.raises(NotImplementedError):
+        extract_features(synthesize_media(spark, n=2), fake=False)
