@@ -55,14 +55,27 @@ def build_kg(spark: SparkSession, pages: DataFrame,
             nodes_raw, edges_raw,
             cfg.allowed_entities or [], cfg.allowed_relationships or [])
 
+    # MERGE-dedup only what can actually collide: chunk nodes are unique by
+    # construction (id = url#chunk_i) and HAS edges are unique per
+    # (chunk, entity) — routing them around the merge keeps the corpus text
+    # (chunk `text` property) OUT of the merge shuffle entirely; only
+    # entity mentions shuffle.
+    chunk_nodes = nodes_raw.filter(F.col("type") == "Chunk")
+    entity_merged = merge.merge_nodes(
+        nodes_raw.filter(F.col("type") != "Chunk"))
+    has_edges = edges_raw.filter(F.col("pred") == "HAS")
+    rel_merged = merge.merge_edges(edges_raw.filter(F.col("pred") != "HAS"))
+
     # localCheckpoint (eager) rather than persist: nodes/edges are consumed
     # by 3+ downstream stages, and truncating the logical plan here keeps
     # Catalyst analysis cost flat for every consumer (re-analyzing the full
     # UDF-heavy extraction tree per downstream action dominates small-run
     # wall time). On a cluster with executor churn, swap for
     # reliable checkpoint() or the operators/checkpoint.py stage files.
-    nodes = merge.merge_nodes(nodes_raw).localCheckpoint()
-    edges = merge.merge_edges(edges_raw).localCheckpoint()
+    nodes = entity_merged.unionByName(
+        chunk_nodes.select(*entity_merged.columns)).localCheckpoint()
+    edges = rel_merged.unionByName(
+        has_edges.select(*rel_merged.columns)).localCheckpoint()
     flat.unpersist()
     chunks = chunker.chunk_pages(html_text.with_extracted_text(pages),
                                  cfg.chunk_size, cfg.chunk_overlap)
@@ -117,25 +130,39 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
     """
     m = F.broadcast(mapping)
 
-    canon_nodes = (
-        nodes.join(m, ["type", "id"], "left")
+    # chunk nodes are never linked (mapping covers entity types only) —
+    # route them around the re-merge so chunk text stays out of the shuffle
+    chunk_nodes = nodes.filter(F.col("type") == "Chunk")
+    entity_rewritten = (
+        nodes.filter(F.col("type") != "Chunk")
+        .join(m, ["type", "id"], "left")
         .withColumn("canonical_id", F.coalesce("canonical_id", "id"))
         .drop("id").withColumnRenamed("canonical_id", "id")
     )
-    canon_nodes = merge.merge_nodes(canon_nodes)
+    canon_nodes = merge.merge_nodes(entity_rewritten).unionByName(
+        chunk_nodes.select("id", "type", "properties", "url", "chunk_id"))
 
     ms = m.select(F.col("type").alias("subj_type"), F.col("id").alias("subj"),
                   F.col("canonical_id").alias("subj_canon"))
     mo = m.select(F.col("type").alias("obj_type"), F.col("id").alias("obj"),
                   F.col("canonical_id").alias("obj_canon"))
-    canon_edges = (
+    rewritten = (
         edges.join(F.broadcast(ms), ["subj_type", "subj"], "left")
         .join(F.broadcast(mo), ["obj_type", "obj"], "left")
         .withColumn("subj", F.coalesce("subj_canon", "subj"))
         .withColumn("obj", F.coalesce("obj_canon", "obj"))
         .drop("subj_canon", "obj_canon")
     )
-    canon_edges = merge.merge_edges(canon_edges)
+    cols = ["subj", "subj_type", "pred", "obj", "obj_type",
+            "properties", "url", "chunk_id"]
+    # HAS edges: only same-chunk alias collapses can duplicate them →
+    # full-row dups → key dedup suffices (no property merge needed)
+    has_edges = (rewritten.filter(F.col("pred") == "HAS")
+                 .dropDuplicates(["subj", "subj_type", "pred",
+                                  "obj", "obj_type"]))
+    canon_edges = merge.merge_edges(
+        rewritten.filter(F.col("pred") != "HAS")).select(*cols).unionByName(
+        has_edges.select(*cols))
     return canon_nodes, canon_edges
 
 
