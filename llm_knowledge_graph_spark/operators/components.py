@@ -98,12 +98,15 @@ def canonical_mapping(nodes: DataFrame, sim_edges: DataFrame,
         F.concat_ws(sep, F.col("type"), F.col("b")).alias("b"),
     )
 
-    n_edges = edg.count()
-    if n_edges == 0:
+    # limit-probe: ONE job fetches up to threshold+1 edges; if they all fit,
+    # that IS the complete edge set and the driver path runs (no separate
+    # count() job). Only genuinely huge graphs pay the distributed loop.
+    probe = edg.limit(driver_threshold + 1).collect()
+    if len(probe) == 0:
         return spark.createDataFrame(
             [], "type string, id string, canonical_id string")
-    if n_edges <= driver_threshold:
-        pairs = [(r.a, r.b) for r in edg.collect()]
+    if len(probe) <= driver_threshold:
+        pairs = [(r.a, r.b) for r in probe]
         mapping = driver_union_find(pairs)
         rows = [(k.split(sep, 1)[0], k.split(sep, 1)[1],
                  v.split(sep, 1)[1]) for k, v in mapping.items()]

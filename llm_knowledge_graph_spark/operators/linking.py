@@ -120,6 +120,9 @@ def candidate_pairs(entities: DataFrame, num_perm: int = 64, bands: int = 16,
                 "shingles", F.col("band.band_id").alias("band_id"),
                 F.col("band.h").alias("band_hash"))
     )
+    # materialize once: the self-join references sigs on BOTH sides — without
+    # this the distinct+minhash+banding chain (incl. a python stage) runs twice
+    sigs = sigs.localCheckpoint()
     left = sigs.select("band_id", "band_hash", "type",
                        F.col("name").alias("a"),
                        F.col("shingles").alias("shingles_a"))

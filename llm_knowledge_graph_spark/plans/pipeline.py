@@ -61,28 +61,34 @@ def build_kg(spark: SparkSession, pages: DataFrame,
     # (chunk `text` property) OUT of the merge shuffle entirely; only
     # entity mentions shuffle.
     chunk_nodes = nodes_raw.filter(F.col("type") == "Chunk")
-    entity_merged = merge.merge_nodes(
-        nodes_raw.filter(F.col("type") != "Chunk"))
     has_edges = edges_raw.filter(F.col("pred") == "HAS")
-    rel_merged = merge.merge_edges(edges_raw.filter(F.col("pred") != "HAS"))
 
-    # localCheckpoint (eager) rather than persist: nodes/edges are consumed
-    # by 3+ downstream stages, and truncating the logical plan here keeps
-    # Catalyst analysis cost flat for every consumer (re-analyzing the full
-    # UDF-heavy extraction tree per downstream action dominates small-run
-    # wall time). On a cluster with executor churn, swap for
-    # reliable checkpoint() or the operators/checkpoint.py stage files.
+    # localCheckpoint (eager) ONLY the merged (shuffled) slices — they are
+    # consumed by 3+ downstream stages and truncating the plan keeps
+    # Catalyst analysis flat. The pass-through slices (chunk nodes, HAS
+    # edges — the corpus-text-carrying bulk) stay LAZY projections of the
+    # persisted `flat` cache: no second in-memory copy, columnar cache
+    # pruning serves each consumer. The two checkpoints are independent →
+    # materialize them CONCURRENTLY.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as pool:
+        f_nodes = pool.submit(lambda: merge.merge_nodes(
+            nodes_raw.filter(F.col("type") != "Chunk")).localCheckpoint())
+        f_edges = pool.submit(lambda: merge.merge_edges(
+            edges_raw.filter(F.col("pred") != "HAS")).localCheckpoint())
+        entity_merged, rel_merged = f_nodes.result(), f_edges.result()
     nodes = entity_merged.unionByName(
-        chunk_nodes.select(*entity_merged.columns)).localCheckpoint()
+        chunk_nodes.select(*entity_merged.columns))
     edges = rel_merged.unionByName(
-        has_edges.select(*rel_merged.columns)).localCheckpoint()
-    flat.unpersist()
+        has_edges.select(*rel_merged.columns))
     chunks = chunker.chunk_pages(html_text.with_extracted_text(pages),
                                  cfg.chunk_size, cfg.chunk_overlap)
 
     # entity linking + canonicalization (north rule; beyond the reference's
-    # exact-(label,id) MERGE — ref code/pdf_graphrag.py:277-300)
-    entity_nodes = nodes.filter(F.col("type") != "Chunk")
+    # exact-(label,id) MERGE — ref code/pdf_graphrag.py:277-300).
+    # Uses the checkpointed entity slice directly (not the union) so the
+    # linking plan never rescans the flat cache.
+    entity_nodes = entity_merged
     sim = linking.similarity_edges(
         entity_nodes, cfg.minhash_permutations, cfg.lsh_bands,
         cfg.shingle_size, cfg.jaccard_threshold, cfg.link_types,
@@ -91,9 +97,10 @@ def build_kg(spark: SparkSession, pages: DataFrame,
         sim = sim.unionByName(
             linking.alias_dictionary_links(entity_nodes, alias_dict))
     sim = sim.localCheckpoint()
+    # mapping is small (linked distinct names) and usually driver-built —
+    # no checkpoint needed; rewrite broadcasts it
     mapping = components.canonical_mapping(
-        entity_nodes.select("id", "type"), sim, cfg.max_cc_iterations
-    ).localCheckpoint()
+        entity_nodes.select("id", "type"), sim, cfg.max_cc_iterations)
 
     canonical_nodes, canonical_edges = rewrite_canonical(nodes, edges, mapping)
     return KGResult(chunks, nodes, edges, sim, mapping,
@@ -151,18 +158,27 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
         .join(F.broadcast(mo), ["obj_type", "obj"], "left")
         .withColumn("subj", F.coalesce("subj_canon", "subj"))
         .withColumn("obj", F.coalesce("obj_canon", "obj"))
-        .drop("subj_canon", "obj_canon")
     )
     cols = ["subj", "subj_type", "pred", "obj", "obj_type",
             "properties", "url", "chunk_id"]
-    # HAS edges: only same-chunk alias collapses can duplicate them →
-    # full-row dups → key dedup suffices (no property merge needed)
-    has_edges = (rewritten.filter(F.col("pred") == "HAS")
-                 .dropDuplicates(["subj", "subj_type", "pred",
-                                  "obj", "obj_type"]))
-    canon_edges = merge.merge_edges(
-        rewritten.filter(F.col("pred") != "HAS")).select(*cols).unionByName(
-        has_edges.select(*cols))
+    key = ["subj", "subj_type", "pred", "obj", "obj_type"]
+    # HAS edges: only same-chunk alias collapses can duplicate them, and a
+    # HAS edge can only change through its OBJECT (subj is a chunk, never
+    # linked). Deduping ALL of them would shuffle the dominant edge class;
+    # instead dedup only the rewritten slice (tiny) and drop colliding
+    # stable rows via a broadcast anti-join — no large shuffle.
+    has = rewritten.filter(F.col("pred") == "HAS")
+    has_changed = (has.filter(F.col("obj_canon").isNotNull())
+                   .select(*cols).dropDuplicates(key))
+    has_stable = (has.filter(F.col("obj_canon").isNull())
+                  .select(*cols)
+                  .join(F.broadcast(has_changed.select(*key)), key, "left_anti"))
+    canon_edges = (
+        merge.merge_edges(rewritten.filter(F.col("pred") != "HAS")
+                          .select(*cols)).select(*cols)
+        .unionByName(has_changed)
+        .unionByName(has_stable)
+    )
     return canon_nodes, canon_edges
 
 
