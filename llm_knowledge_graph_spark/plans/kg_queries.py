@@ -50,10 +50,14 @@ def kg_degree_top25(spark, sf_dir):
 
 
 def kg_multi_hop(spark, sf_dir):
-    """Q7 analogue: 2-hop neighborhood of the hot entity."""
+    """Q7 analogue: 2-hop neighborhood of the hot entity (resolved to its
+    canonical id through the linking mapping first)."""
     from ..corpus import HOT_PERSON
     res = _kg(spark)
-    return Q.multi_hop(res.canonical_edges, HOT_PERSON, depth=2)
+    hit = (res.mapping.filter(F.col("id") == HOT_PERSON)
+           .select("canonical_id").collect())
+    start = hit[0].canonical_id if hit else HOT_PERSON
+    return Q.multi_hop(res.canonical_edges, start, depth=2)
 
 
 def kg_entity_contains(spark, sf_dir):
@@ -108,7 +112,55 @@ def kg_multimodal_features(spark, sf_dir):
         .orderBy("kind"))
 
 
+def kg_schema_labels(spark, sf_dir):
+    """Q1 analogue: schema introspection — distinct labels + rel types
+    (ref get_graph_schema, code/pdf_graphrag.py:304-364)."""
+    res = _kg(spark)
+    labels = (res.canonical_nodes.select(F.col("type").alias("name"))
+              .distinct().withColumn("kind", F.lit("label")))
+    rels = (res.canonical_edges.select(F.col("pred").alias("name"))
+            .distinct().withColumn("kind", F.lit("relationship")))
+    return labels.unionByName(rels).orderBy("kind", "name")
+
+
+def kg_validation_report(spark, sf_dir):
+    """V1-V6 analogue: quality-gate metrics over the built graph
+    (ref ValidationLayer, code/legal-llm/legal_graphrag.py:243-315 and
+    _generate_quality_report :642-679)."""
+    res = _kg(spark)
+    nodes, edges = res.canonical_nodes, res.canonical_edges
+    # V1: citation format — Section ids must match '§ N(.N)*'
+    v1 = nodes.filter(F.col("type") == "Section").agg(
+        F.avg(F.when(F.col("id").rlike(r"^§ \d+(\.\d+)*$"), 1.0)
+              .otherwise(0.0)).alias("value")).withColumn(
+        "metric", F.lit("citation_format_validity"))
+    # V2: definitions — Term nodes need definitionText longer than 10 chars
+    v2 = nodes.filter(F.col("type") == "Term").agg(
+        F.avg(F.when(F.length(F.element_at("properties", "definitionText"))
+                     > 10, 1.0).otherwise(0.0)).alias("value")).withColumn(
+        "metric", F.lit("definition_validity"))
+    # V3: completeness — non-empty entity classes / expected classes
+    expected = ["Person", "Organization", "Place", "Term", "Section"]
+    present = (nodes.filter(F.col("type").isin(expected))
+               .select("type").distinct().count())
+    v3 = spark.createDataFrame(
+        [(float(present) / len(expected), "completeness")],
+        "value double, metric string")
+    # V6: totals
+    totals = spark.createDataFrame(
+        [(float(nodes.count()), "node_total"),
+         (float(edges.count()), "edge_total")],
+        "value double, metric string")
+    return (v1.select("metric", "value")
+            .unionByName(v2.select("metric", "value"))
+            .unionByName(v3.select("metric", "value"))
+            .unionByName(totals.select("metric", "value"))
+            .orderBy("metric"))
+
+
 KG_QUERIES = {
+    "kg_schema_labels": kg_schema_labels,
+    "kg_validation_report": kg_validation_report,
     "kg_node_counts": kg_node_counts,
     "kg_edge_counts": kg_edge_counts,
     "kg_degree_top25": kg_degree_top25,
