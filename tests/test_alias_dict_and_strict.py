@@ -1,0 +1,53 @@
+"""Alias-dictionary linking path + strict-mode schema enforcement in the
+Spark pipeline (N9 + the north rule's broadcast alias dictionary)."""
+
+from pyspark.sql import functions as F
+
+
+def test_alias_dictionary_links(spark):
+    from llm_knowledge_graph_spark.operators.linking import alias_dictionary_links
+    entities = spark.createDataFrame(
+        [("Big Blue", "Organization"), ("Ibm", "Organization"),
+         ("Acme Corp", "Organization")],
+        "id string, type string")
+    alias_dict = spark.createDataFrame(
+        [("big blue", "Ibm"), ("international business machines", "Ibm")],
+        "alias string, canonical_id string")
+    links = alias_dictionary_links(entities, alias_dict).collect()
+    assert {(r.a, r.b) for r in links} == {("Big Blue", "Ibm")}
+
+
+def test_pipeline_with_alias_dict_merges_curated_aliases(spark, pages_df):
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+    # curate an alias that trigram similarity would never find
+    alias_dict = spark.createDataFrame(
+        [("Globex Inc", "Acme Corp")], "alias string, canonical_id string")
+    res = build_kg(spark, pages_df, PipelineConfig(), alias_dict=alias_dict)
+    m = {(r.type, r.id): r.canonical_id for r in res.mapping.collect()}
+    assert m.get(("Organization", "Globex Inc")) == "Acme Corp"
+    # and the canonical graph no longer contains the alias as a node id
+    ids = {r.id for r in res.canonical_nodes
+           .filter(F.col("type") == "Organization").collect()}
+    assert "Globex Inc" not in ids and "Acme Corp" in ids
+
+
+def test_pipeline_strict_mode(spark, pages_df):
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+    cfg = PipelineConfig(
+        allowed_entities=["Person", "Organization"],
+        allowed_relationships=["WORKS_FOR", "FOUNDED", "LEADS", "LOVES",
+                               "MARRIED", "EMPLOYS"],
+    )
+    res = build_kg(spark, pages_df, cfg)
+    types = {r.type for r in res.nodes.collect()}
+    assert types <= {"Person", "Organization", "Chunk"}  # Chunk exempt
+    preds = {r.pred for r in res.edges.collect()}
+    assert preds <= {"WORKS_FOR", "FOUNDED", "LEADS", "LOVES", "MARRIED",
+                     "EMPLOYS", "HAS"}  # HAS exempt
+    # no dangling edges into dropped nodes
+    node_keys = {(r.type, r.id) for r in res.nodes.collect()}
+    for r in res.edges.collect():
+        assert (r.subj_type, r.subj) in node_keys
+        assert (r.obj_type, r.obj) in node_keys
