@@ -94,7 +94,7 @@ def with_graph_docs(chunks: DataFrame, with_embedding: bool = False,
 
 FLAT_SCHEMA = ("url string, chunk_id long, kind string, a string, "
                "a_type string, pred string, b string, b_type string, "
-               "props_json string")
+               "props_json string, chunk_text string")
 
 
 def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
@@ -110,7 +110,17 @@ def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
 
     Output: long format; kind='n' rows are nodes (a=id, a_type=type),
     kind='e' rows are edges (a=subj .. b=obj). properties as JSON string —
-    parsed JVM-side by nodes_from_flat/edges_from_flat.
+    parsed JVM-side by nodes_from_flat/edges_from_flat — EXCEPT the chunk
+    node's `text` property, which rides a dedicated Arrow string column
+    (`chunk_text`): JSON-escaping ~1 KB of text per chunk in python and
+    re-parsing it with from_json in the JVM was the single largest hot-path
+    CPU cost (the corpus itself round-tripping through a JSON codec).
+    nodes_from_flat splices it back into the property map JVM-side, so the
+    reassembled map is identical.
+
+    Python-side frames are assembled as per-column lists (dict-of-lists →
+    DataFrame), never list-of-row-tuples — pandas transposes tuple rows in
+    pure python, which dominated profile time at high core counts.
     """
     import json
     from typing import Iterator
@@ -120,7 +130,17 @@ def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
 
     def gen(batches: "Iterator[pd.DataFrame]"):
         for pdf in batches:
-            rows = []
+            c_url: list = []; c_cid: list = []; c_kind: list = []
+            c_a: list = []; c_at: list = []; c_pred: list = []
+            c_b: list = []; c_bt: list = []; c_pj: list = []
+            c_ct: list = []
+
+            def put(url, cid, kind, a, at, pred, b, bt, pj, ct):
+                c_url.append(url); c_cid.append(cid); c_kind.append(kind)
+                c_a.append(a); c_at.append(at); c_pred.append(pred)
+                c_b.append(b); c_bt.append(bt); c_pj.append(pj)
+                c_ct.append(ct)
+
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
                 if text is None:
                     text = html_to_text(html)
@@ -130,20 +150,25 @@ def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
                         with_embedding=with_embedding)
                     prefix = f"{url}#chunk_{cid}"
                     for n in gd["nodes"]:
-                        nid = prefix if n["type"] == "Chunk" else n["id"]
-                        rows.append((url, cid, "n", nid, n["type"], None,
-                                     None, None,
-                                     json.dumps(n["properties"],
-                                                ensure_ascii=False)))
+                        if n["type"] == "Chunk":
+                            props = dict(n["properties"])
+                            ct = props.pop("text", None)
+                            put(url, cid, "n", prefix, "Chunk", None, None,
+                                None, json.dumps(props, ensure_ascii=False), ct)
+                        else:
+                            put(url, cid, "n", n["id"], n["type"], None, None,
+                                None, json.dumps(n["properties"],
+                                                 ensure_ascii=False), None)
                     for e in gd["edges"]:
                         subj = prefix if e["subj_type"] == "Chunk" else e["subj"]
-                        rows.append((url, cid, "e", subj, e["subj_type"],
-                                     e["pred"], e["obj"], e["obj_type"],
-                                     json.dumps(e["properties"],
-                                                ensure_ascii=False)))
-            yield pd.DataFrame(rows, columns=[
-                "url", "chunk_id", "kind", "a", "a_type", "pred", "b",
-                "b_type", "props_json"])
+                        put(url, cid, "e", subj, e["subj_type"], e["pred"],
+                            e["obj"], e["obj_type"],
+                            json.dumps(e["properties"], ensure_ascii=False),
+                            None)
+            yield pd.DataFrame({
+                "url": c_url, "chunk_id": c_cid, "kind": c_kind, "a": c_a,
+                "a_type": c_at, "pred": c_pred, "b": c_b, "b_type": c_bt,
+                "props_json": c_pj, "chunk_text": c_ct})
 
     return pages.select("url", "html", "text").mapInPandas(gen, FLAT_SCHEMA)
 
@@ -152,9 +177,14 @@ _PROPS = "map<string,string>"
 
 
 def nodes_from_flat(flat: DataFrame) -> DataFrame:
+    base = F.from_json("props_json", _PROPS)
+    props = F.when(
+        F.col("chunk_text").isNotNull(),
+        F.map_concat(F.create_map(F.lit("text"), F.col("chunk_text")), base),
+    ).otherwise(base)
     return (flat.filter(F.col("kind") == "n")
             .select(F.col("a").alias("id"), F.col("a_type").alias("type"),
-                    F.from_json("props_json", _PROPS).alias("properties"),
+                    props.alias("properties"),
                     "url", "chunk_id"))
 
 

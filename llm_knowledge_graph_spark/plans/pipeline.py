@@ -132,50 +132,84 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
                       mapping: DataFrame):
     """Rewrites node ids / edge endpoints to canonical ids and re-dedups.
 
-    The mapping is small (distinct entity names only) → broadcast joins; no
-    large-table shuffle except the final dedup aggregations.
+    The inputs are ALREADY merged per key; canonicalization only perturbs
+    rows that touch a linked name. Re-merging the whole table would shuffle
+    the dominant (stable) row class for nothing — instead the tables split
+    on a broadcast of the TOUCHED key set (aliases ∪ canonical targets):
+    touched rows re-merge (tiny shuffle), stable rows pass through
+    untouched. The split is collision-safe: a stable row can only collide
+    with a rewritten row at a canonical-target key, and every row carrying
+    a target key is routed to the merge side by construction.
     """
     m = F.broadcast(mapping)
+    # touched keys: every alias AND every canonical target
+    touched = F.broadcast(
+        mapping.select("type", "id")
+        .unionByName(mapping.select("type",
+                                    F.col("canonical_id").alias("id")))
+        .distinct())
 
     # chunk nodes are never linked (mapping covers entity types only) —
     # route them around the re-merge so chunk text stays out of the shuffle
     chunk_nodes = nodes.filter(F.col("type") == "Chunk")
-    entity_rewritten = (
-        nodes.filter(F.col("type") != "Chunk")
-        .join(m, ["type", "id"], "left")
+    entities = nodes.filter(F.col("type") != "Chunk")
+    ent_touched = entities.join(touched, ["type", "id"], "left_semi")
+    ent_stable = entities.join(touched, ["type", "id"], "left_anti")
+    ent_rewritten = (
+        ent_touched.join(m, ["type", "id"], "left")
         .withColumn("canonical_id", F.coalesce("canonical_id", "id"))
         .drop("id").withColumnRenamed("canonical_id", "id")
     )
-    canon_nodes = merge.merge_nodes(entity_rewritten).unionByName(
-        chunk_nodes.select("id", "type", "properties", "url", "chunk_id"))
+    canon_nodes = (
+        merge.merge_nodes(ent_rewritten)
+        .unionByName(ent_stable.select("id", "type", "properties",
+                                       "url", "chunk_id"))
+        .unionByName(chunk_nodes.select("id", "type", "properties",
+                                        "url", "chunk_id")))
 
     ms = m.select(F.col("type").alias("subj_type"), F.col("id").alias("subj"),
                   F.col("canonical_id").alias("subj_canon"))
     mo = m.select(F.col("type").alias("obj_type"), F.col("id").alias("obj"),
                   F.col("canonical_id").alias("obj_canon"))
-    rewritten = (
-        edges.join(F.broadcast(ms), ["subj_type", "subj"], "left")
-        .join(F.broadcast(mo), ["obj_type", "obj"], "left")
-        .withColumn("subj", F.coalesce("subj_canon", "subj"))
-        .withColumn("obj", F.coalesce("obj_canon", "obj"))
-    )
+    ts = touched.select(F.col("type").alias("subj_type"),
+                        F.col("id").alias("subj"))
+    to = touched.select(F.col("type").alias("obj_type"),
+                        F.col("id").alias("obj"))
     cols = ["subj", "subj_type", "pred", "obj", "obj_type",
             "properties", "url", "chunk_id"]
     key = ["subj", "subj_type", "pred", "obj", "obj_type"]
+
+    rels = edges.filter(F.col("pred") != "HAS")
+    # an edge is touched iff either endpoint key is touched
+    rel_touched = (rels.join(ts, ["subj_type", "subj"], "left_semi")
+                   .unionByName(
+                       rels.join(ts, ["subj_type", "subj"], "left_anti")
+                       .join(to, ["obj_type", "obj"], "left_semi")))
+    rel_stable = (rels.join(ts, ["subj_type", "subj"], "left_anti")
+                  .join(to, ["obj_type", "obj"], "left_anti"))
+    rel_rewritten = (
+        rel_touched.join(F.broadcast(ms), ["subj_type", "subj"], "left")
+        .join(F.broadcast(mo), ["obj_type", "obj"], "left")
+        .withColumn("subj", F.coalesce("subj_canon", "subj"))
+        .withColumn("obj", F.coalesce("obj_canon", "obj"))
+        .select(*cols)
+    )
+
     # HAS edges: only same-chunk alias collapses can duplicate them, and a
     # HAS edge can only change through its OBJECT (subj is a chunk, never
-    # linked). Deduping ALL of them would shuffle the dominant edge class;
-    # instead dedup only the rewritten slice (tiny) and drop colliding
+    # linked). Dedup only the rewritten slice (tiny) and drop colliding
     # stable rows via a broadcast anti-join — no large shuffle.
-    has = rewritten.filter(F.col("pred") == "HAS")
+    has = (edges.filter(F.col("pred") == "HAS")
+           .join(F.broadcast(mo), ["obj_type", "obj"], "left")
+           .withColumn("obj", F.coalesce("obj_canon", "obj")))
     has_changed = (has.filter(F.col("obj_canon").isNotNull())
                    .select(*cols).dropDuplicates(key))
     has_stable = (has.filter(F.col("obj_canon").isNull())
                   .select(*cols)
                   .join(F.broadcast(has_changed.select(*key)), key, "left_anti"))
     canon_edges = (
-        merge.merge_edges(rewritten.filter(F.col("pred") != "HAS")
-                          .select(*cols)).select(*cols)
+        merge.merge_edges(rel_rewritten).select(*cols)
+        .unionByName(rel_stable.select(*cols))
         .unionByName(has_changed)
         .unionByName(has_stable)
     )

@@ -1,13 +1,26 @@
 """Two-parallelism scaling benchmark (BASELINE.json north rule: throughput
 at N and 4N executors with scaling efficiency >= 0.8).
 
-The sandbox has one machine, so parallelism levels are local[N] vs local[4N]
-(same input, same job — the documented proxy). Protocol:
+The sandbox has one machine, so parallelism levels are CPU-affinity-bounded
+runs: the entire process tree (JVM + python UDF workers) of level N runs
+under `taskset -c 0..N-1` with `local[N]` — N cores TOTAL, exactly like an
+N-core cluster slice. (Plain `local[N]` without the affinity bound is NOT a
+fair proxy: it caps only JVM task slots, while python workers run as extra
+processes on cores the level nominally doesn't have — inflating the low
+level and deflating measured efficiency.) Protocol:
   1. synthesize the pages corpus ONCE to parquet (excluded from timing);
-  2. per parallelism level, in a fresh process: warm up python workers/JIT
-     on a small slice, then run the full KG build T times; report the MIN
-     (the principled estimator under scheduler noise);
+  2. per parallelism level, in a fresh taskset-bounded process: warm up
+     python workers/JIT on a small slice, then run the full KG build T
+     times; report the MIN (the principled estimator under scheduler noise);
   3. efficiency = (t_N / t_4N) / 4.
+
+Honesty guard: build_kg persists its extraction output, and Spark's
+CacheManager matches identical logical plans ACROSS build_kg calls — so
+without `spark.catalog.clearCache()` between trials, trials 2..T silently
+reuse trial 1's cached extraction and the "job time" collapses to the
+post-extract tail. Every trial here clears the cache first and re-caches
+ONLY the input pages (untimed), so each timed run executes the complete
+extract → merge → link → canonicalize DAG.
 
 Usage: python tools/scaling_bench.py [n_pages] [n_lo] [n_hi] [trials]
 Writes BENCH/BASELINE.md and prints one JSON line.
@@ -32,19 +45,31 @@ from llm_knowledge_graph_spark.config import PipelineConfig
 from llm_knowledge_graph_spark.plans.pipeline import build_kg
 
 cores, path, trials = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
-spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores)
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
-# one task per core for the fused-extract stage; input cached so every
-# trial reads identical in-memory partitions
-pages = read_pages(spark, path).repartition(cores).persist()
+# 4 tasks per core for the fused-extract stage (tail-balance); input cached
+# so every trial maps identical in-memory partitions
+pages = read_pages(spark, path).repartition(4 * cores).persist()
 n = pages.count()
 warm = build_kg(spark, pages.limit(64), PipelineConfig())
 warm.canonical_edges.count()
 best = None
 for i in range(trials):
+    # drop ALL cached plan fragments from the previous trial, then re-cache
+    # only the input (untimed): each timed run executes the full DAG
+    spark.catalog.clearCache()
+    pages.persist()
+    pages.count()
     t0 = time.perf_counter()
     res = build_kg(spark, pages, PipelineConfig())
-    ne = res.canonical_edges.count(); nn = res.canonical_nodes.count()
+    # both output counts in ONE action (a two-action tail pays Catalyst
+    # planning + job-submit latency twice — pure serial cost)
+    from pyspark.sql import functions as F
+    rows = (res.canonical_nodes.select(F.lit("n").alias("k"))
+            .unionAll(res.canonical_edges.select(F.lit("e").alias("k")))
+            .groupBy("k").count().collect())
+    cnt = {{r["k"]: r["count"] for r in rows}}
+    nn, ne = cnt.get("n", 0), cnt.get("e", 0)
     dt = time.perf_counter() - t0
     best = dt if best is None or dt < best else best
     print(f"# trial {{i}}: {{dt:.2f}}s", file=sys.stderr)
@@ -55,7 +80,8 @@ spark.stop()
 
 def run_level(cores: int, path: str, trials: int):
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER.format(repo=str(REPO)),
+        ["taskset", "-c", f"0-{cores - 1}",
+         sys.executable, "-c", RUNNER.format(repo=str(REPO)),
          str(cores), path, str(trials)],
         capture_output=True, text=True, timeout=3600)
     last = [l for l in out.stdout.splitlines() if l.strip()][-1]
