@@ -160,6 +160,15 @@ def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
                                 None, json.dumps(n["properties"],
                                                  ensure_ascii=False), None)
                     for e in gd["edges"]:
+                        # HAS edges (chunk → every extracted node, ref
+                        # :484-492) are NOT emitted: they are a pure
+                        # projection of the node rows (one HAS per non-Chunk
+                        # node row) and are derived JVM-side by
+                        # has_edges_from_flat — they are the dominant edge
+                        # class (~40% of all rows), so deriving them halves
+                        # the Arrow transfer + cache footprint.
+                        if e["pred"] == "HAS" and e["subj_type"] == "Chunk":
+                            continue
                         subj = prefix if e["subj_type"] == "Chunk" else e["subj"]
                         put(url, cid, "e", subj, e["subj_type"], e["pred"],
                             e["obj"], e["obj_type"],
@@ -189,12 +198,38 @@ def nodes_from_flat(flat: DataFrame) -> DataFrame:
 
 
 def edges_from_flat(flat: DataFrame) -> DataFrame:
+    """Non-HAS edges only — HAS edges are derived (has_edges_from_flat)."""
     return (flat.filter(F.col("kind") == "e")
             .select(F.col("a").alias("subj"), F.col("a_type").alias("subj_type"),
                     "pred",
                     F.col("b").alias("obj"), F.col("b_type").alias("obj_type"),
                     F.from_json("props_json", _PROPS).alias("properties"),
                     "url", "chunk_id"))
+
+
+def has_edges_from_nodes(nodes: DataFrame) -> DataFrame:
+    """Chunk→entity HAS edges (N8, ref code/pdf_graphrag.py:484-492),
+    derived JVM-side from node rows: exactly one HAS edge per non-Chunk
+    node row, same multiplicity as the reference's per-extracted-node
+    append. Applying this AFTER a strict-mode node filter reproduces the
+    reference's 'drop HAS edges to dropped nodes' semantics for free.
+    Keeping these out of the python→JVM stream removes the dominant edge
+    class from the Arrow transfer and the cache."""
+    empty = F.from_json(F.lit("{}"), _PROPS)
+    return (nodes.filter(F.col("type") != "Chunk")
+            .select(
+                F.concat(F.col("url"), F.lit("#chunk_"),
+                         F.col("chunk_id")).alias("subj"),
+                F.lit("Chunk").alias("subj_type"),
+                F.lit("HAS").alias("pred"),
+                F.col("id").alias("obj"),
+                F.col("type").alias("obj_type"),
+                empty.alias("properties"),
+                "url", "chunk_id"))
+
+
+def has_edges_from_flat(flat: DataFrame) -> DataFrame:
+    return has_edges_from_nodes(nodes_from_flat(flat))
 
 
 def nodes_from(gd_df: DataFrame) -> DataFrame:

@@ -59,9 +59,10 @@ def build_kg(spark: SparkSession, pages: DataFrame,
     # construction (id = url#chunk_i) and HAS edges are unique per
     # (chunk, entity) — routing them around the merge keeps the corpus text
     # (chunk `text` property) OUT of the merge shuffle entirely; only
-    # entity mentions shuffle.
+    # entity mentions shuffle. HAS edges are DERIVED from the (strict-
+    # filtered) node rows JVM-side, never shipped from python.
     chunk_nodes = nodes_raw.filter(F.col("type") == "Chunk")
-    has_edges = edges_raw.filter(F.col("pred") == "HAS")
+    has_edges = extract.has_edges_from_nodes(nodes_raw)
 
     # localCheckpoint (eager) ONLY the merged (shuffled) slices — they are
     # consumed by 3+ downstream stages and truncating the plan keeps
