@@ -179,7 +179,14 @@ def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
                 "a_type": c_at, "pred": c_pred, "b": c_b, "b_type": c_bt,
                 "props_json": c_pj, "chunk_text": c_ct})
 
-    return pages.select("url", "html", "text").mapInPandas(gen, FLAT_SCHEMA)
+    # never ship html bytes for rows whose text is already populated — the
+    # UDF only falls back to html when text is null (the "don't read html
+    # when text is present" rule, JVM-side so the Arrow transfer shrinks)
+    return (pages.select(
+        "url",
+        F.when(F.col("text").isNull(), F.col("html")).alias("html"),
+        "text",
+    ).mapInPandas(gen, FLAT_SCHEMA))
 
 
 _PROPS = "map<string,string>"

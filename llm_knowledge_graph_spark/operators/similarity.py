@@ -68,6 +68,51 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec, k: int = 5,
         bucketed.filter(F.col("bucket") == qb), query_vec, k, id_col, vec_col)
 
 
+def ivf_assign(embeddings: DataFrame, centroids: list,
+               vec_col: str = "embedding") -> DataFrame:
+    """Adds `cell`: index of the nearest centroid by cosine (IVF coarse
+    quantization). `centroids` is a small python list of vectors —
+    broadcast as literal arrays; assignment is a JVM-side argmax over
+    per-centroid cosine expressions (no UDF, no shuffle)."""
+    scores = [cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+              for c in centroids]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    cell = F.lit(None).cast("int")
+    # first centroid achieving the max wins (deterministic tie-break)
+    for i in reversed(range(len(scores))):
+        cell = F.when(scores[i] == best, F.lit(i)).otherwise(cell)
+    return embeddings.withColumn("cell", cell)
+
+
+def ivf_ann_topk(embeddings: DataFrame, query_vec, k: int = 5,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into `n_centroids`
+    inverted lists, probe only the `n_probe` cells nearest the query.
+
+    Deterministic 'training': centroids are the first `n_centroids` corpus
+    vectors by id (seed-free, reproducible). At scale the assignment is
+    computed once and persisted as a `cell` partition column — queries then
+    prune to n_probe/n_centroids of the data; here it is computed inline.
+    """
+    import numpy as np
+    cents = [r[0] for r in (embeddings.orderBy(id_col)
+                            .select(vec_col).limit(n_centroids).collect())]
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def cos(a):
+        a = np.asarray(a, dtype=np.float64)
+        na, nq = np.linalg.norm(a), np.linalg.norm(q)
+        return float(a @ q / (na * nq)) if na and nq else 0.0
+
+    probe = sorted(range(len(cents)),
+                   key=lambda i: (-cos(cents[i]), i))[:n_probe]
+    assigned = ivf_assign(embeddings, cents, vec_col)
+    return brute_force_topk(
+        assigned.filter(F.col("cell").isin(probe)), query_vec, k,
+        id_col, vec_col)
+
+
 def cosine_pairs(embeddings: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding",
                  threshold: float = 0.95) -> DataFrame:

@@ -229,6 +229,80 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+def q_doc_lang_id(spark, sf_dir):
+    """Language-ID heuristic (n-gram/stopword markers): per-language marker
+    hits → argmax with first-in-order tie-break; confusion counts vs the
+    labeled lang. Marker sets from functions/text.py LANG_MARKERS."""
+    from ..functions.text import LANG_MARKERS
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split(F.lower(F.col("text")), " "))
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        markers = LANG_MARKERS[lang]
+        d = d.withColumn(
+            f"h_{lang}",
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(markers))))
+    mx = F.greatest(*[F.col(f"h_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((mx > 0) & (F.col(f"h_{lang}") == mx),
+                      F.lit(lang)).otherwise(pred)
+    return (d.select("lang", pred.alias("predicted"))
+            .groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+            .orderBy("lang", "predicted"))
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: length / word-length / punctuation heuristics with
+    cross-engine-exact arithmetic (punct counted via translate; texts are
+    single-space-joined so avg token length is integer arithmetic)."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    avg_wl = (F.col("n_chars") - (n_tok - 1)) / n_tok
+    n_punct = F.length("text") - F.length(F.translate("text", ".,!?;:", ""))
+    len_ok = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    wl_ok = F.when((avg_wl >= 3) & (avg_wl <= 10), F.lit(1.0)).otherwise(0.5)
+    punct_ok = F.lit(1.0) - F.least(n_punct * 5.0 / F.col("n_chars"), F.lit(1.0))
+    score = F.round((len_ok + wl_ok + punct_ok) / 3.0, 4)
+    return (d.select("doc_id", n_tok.alias("n_tokens"),
+                     score.alias("quality"))
+            .orderBy(F.desc("quality"), "doc_id").limit(20))
+
+
+def q_doc_regex_tokens(spark, sf_dir):
+    """BPE-ish regex tokenization: word pieces / numbers / single
+    punctuation via regexp_extract_all — compares sub-word token counts to
+    whitespace counts."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    rt = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0)))
+    wt = F.size(F.split(F.col("text"), " "))
+    return (d.select("doc_id", rt.alias("n_regex_tokens"),
+                     wt.alias("n_ws_tokens"))
+            .orderBy(F.desc("n_regex_tokens"), "doc_id")
+            .limit(20))
+
+
+def q_doc_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing-style): fingerprint =
+    min md5 over sliding 16-char windows (stride 4). Near-identical texts
+    share the minimizing window → equal fingerprints; distinct-fp counts
+    per language expose the duplicate mass."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    k = F.greatest((F.length(t) - 15), F.lit(1))
+    windows = F.transform(
+        F.sequence(F.lit(1), k, F.lit(4)),
+        lambda i: F.md5(t.substr(i, F.lit(16))),
+    )
+    fp = F.array_min(windows)
+    return (d.select("lang", fp.alias("fp"))
+            .groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.countDistinct("fp").alias("n_distinct_fp"))
+            .orderBy("lang"))
+
+
 # ---------------------------------------------------------------------------
 # Embedding / similarity surface
 # ---------------------------------------------------------------------------
@@ -417,6 +491,72 @@ ORACLE_SQL: Dict[str, str] = {
                  - len(list_intersect(a.shingles, b.shingles))) >= 0.2
         ORDER BY a, b
     """,
+    "doc_lang_id": """
+        WITH h AS (
+            SELECT lang,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> x IN ('der','die','das','und','nicht','ist'))) AS h_de,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> x IN ('the','of','and','to','is','a'))) AS h_en,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> x IN ('el','los','las','es','una','de'))) AS h_es,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> x IN ('le','la','les','et','est','une'))) AS h_fr,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> x IN ('a','je','na','sa','to','v'))) AS h_sk
+            FROM documents
+        ), p AS (
+            SELECT lang,
+                   CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_sk) = 0 THEN 'und'
+                        WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_sk) THEN 'de'
+                        WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_sk) THEN 'en'
+                        WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_sk) THEN 'es'
+                        WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_sk) THEN 'fr'
+                        ELSE 'sk' END AS predicted
+            FROM h
+        )
+        SELECT lang, predicted, COUNT(*) AS n FROM p
+        GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+    "doc_quality": """
+        WITH q AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   (n_chars - (len(string_split(text, ' ')) - 1))
+                       / len(string_split(text, ' ')) AS avg_wl,
+                   length(text) - length(translate(text, '.,!?;:', '')) AS n_punct,
+                   n_chars
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               ROUND((least(n_tokens / 50.0, 1.0)
+                      + (CASE WHEN avg_wl >= 3 AND avg_wl <= 10
+                              THEN 1.0 ELSE 0.5 END)
+                      + (1.0 - least(n_punct * 5.0 / n_chars, 1.0))) / 3.0,
+                     4) AS quality
+        FROM q
+        ORDER BY quality DESC, doc_id LIMIT 20
+    """,
+    "doc_regex_tokens": """
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_regex_tokens,
+               len(string_split(text, ' ')) AS n_ws_tokens
+        FROM documents
+        ORDER BY n_regex_tokens DESC, doc_id LIMIT 20
+    """,
+    "doc_winnow_fingerprint": """
+        WITH fp AS (
+            SELECT lang,
+                   list_aggregate(list_transform(
+                       range(1, greatest(length(text) - 15, 1) + 1, 4),
+                       i -> md5(substring(lower(text), i, 16))), 'min') AS fp
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(DISTINCT fp) AS n_distinct_fp
+        FROM fp GROUP BY lang ORDER BY lang
+    """,
     "cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -477,6 +617,10 @@ SQL_QUERIES: Dict[str, Callable] = {
     "doc_stopword_ratio": q_doc_stopword_ratio,
     "word_cooccurrence": q_word_cooccurrence,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_quality": q_doc_quality,
+    "doc_regex_tokens": q_doc_regex_tokens,
+    "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
     "cosine_near_dup_pairs": q_cosine_near_dup_pairs,

