@@ -303,6 +303,34 @@ def q_doc_winnow_fingerprint(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_orders_monthly_revenue(spark, sf_dir):
+    """Date-function surface (year/month bucketing — SURVEY §2.8 date/math):
+    monthly revenue in exact integer cents."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("yr"),
+                      F.month("o_orderdate").alias("mo"))
+            .agg(F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("yr", "mo"))
+
+
+def q_ship_delay_stats(spark, sf_dir):
+    """datediff + join: order→ship delay bucketed by week; exact integer
+    aggregates (sum of day counts, min/max) — no float drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(delay.alias("delay_days"))
+            .withColumn("delay_week", F.floor(F.col("delay_days") / 7))
+            .groupBy("delay_week")
+            .agg(F.count("*").alias("n"),
+                 F.sum("delay_days").alias("sum_delay_days"),
+                 F.min("delay_days").alias("min_delay"),
+                 F.max("delay_days").alias("max_delay"))
+            .orderBy("delay_week"))
+
+
 # ---------------------------------------------------------------------------
 # Embedding / similarity surface
 # ---------------------------------------------------------------------------
@@ -557,6 +585,23 @@ ORACLE_SQL: Dict[str, str] = {
                COUNT(DISTINCT fp) AS n_distinct_fp
         FROM fp GROUP BY lang ORDER BY lang
     """,
+    "orders_monthly_revenue": """
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY yr, mo ORDER BY yr, mo
+    """,
+    "ship_delay_stats": """
+        WITH d AS (
+            SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) AS delay_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT CAST(floor(delay_days / 7.0) AS BIGINT) AS delay_week,
+               COUNT(*) AS n, SUM(delay_days) AS sum_delay_days,
+               MIN(delay_days) AS min_delay, MAX(delay_days) AS max_delay
+        FROM d GROUP BY delay_week ORDER BY delay_week
+    """,
     "cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -621,6 +666,8 @@ SQL_QUERIES: Dict[str, Callable] = {
     "doc_quality": q_doc_quality,
     "doc_regex_tokens": q_doc_regex_tokens,
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
+    "orders_monthly_revenue": q_orders_monthly_revenue,
+    "ship_delay_stats": q_ship_delay_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
     "cosine_near_dup_pairs": q_cosine_near_dup_pairs,

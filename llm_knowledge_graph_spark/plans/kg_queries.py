@@ -111,6 +111,27 @@ def kg_ann_ivf_topk(spark, sf_dir):
                         k=10, n_centroids=16, n_probe=4)
 
 
+def kg_streaming_lang_counts(spark, sf_dir):
+    """Structured Streaming surface (rows-only — the driver's SQL oracle
+    cannot run a stream): file-source stream over the documents table,
+    per-lang counts aggregated in `complete` mode into a memory sink with
+    an availableNow trigger (bounded, deterministic: the stream drains the
+    existing files and stops). Exercises readStream → agg → writeStream,
+    the same machinery as streaming/ingest.py's incremental KG ingest."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    agg = stream.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    q = (agg.writeStream.format("memory")
+         .queryName("kg_stream_lang_counts")
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    return spark.table("kg_stream_lang_counts").orderBy("lang")
+
+
 def kg_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: deterministic fake decode over binary payloads
     (rows-only; the real decoder is stubbed — see operators/multimodal.py)."""
@@ -182,5 +203,6 @@ KG_QUERIES = {
     "kg_simhash_pairs": kg_simhash_pairs,
     "kg_ann_lsh_topk": kg_ann_lsh_topk,
     "kg_ann_ivf_topk": kg_ann_ivf_topk,
+    "kg_streaming_lang_counts": kg_streaming_lang_counts,
     "kg_multimodal_features": kg_multimodal_features,
 }

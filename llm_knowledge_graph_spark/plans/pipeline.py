@@ -97,7 +97,9 @@ def build_kg(spark: SparkSession, pages: DataFrame,
     if alias_dict is not None:
         sim = sim.unionByName(
             linking.alias_dictionary_links(entity_nodes, alias_dict))
-    sim = sim.localCheckpoint()
+    # lazy: materializes at the mapping probe (first consumer) — one job
+    # submission instead of an eager-checkpoint job + a probe job
+    sim = sim.localCheckpoint(eager=False)
     # mapping is small (linked distinct names) and usually driver-built —
     # no checkpoint needed; rewrite broadcasts it
     mapping = components.canonical_mapping(
@@ -135,32 +137,35 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
 
     The inputs are ALREADY merged per key; canonicalization only perturbs
     rows that touch a linked name. Re-merging the whole table would shuffle
-    the dominant (stable) row class for nothing — instead the tables split
-    on a broadcast of the TOUCHED key set (aliases ∪ canonical targets):
-    touched rows re-merge (tiny shuffle), stable rows pass through
-    untouched. The split is collision-safe: a stable row can only collide
-    with a rewritten row at a canonical-target key, and every row carrying
-    a target key is routed to the merge side by construction.
+    the dominant (stable) row class for nothing — instead each table splits
+    on ONE broadcast map `flagged(type, id) -> canon` covering the touched
+    key set (aliases ∪ canonical targets, targets mapping to themselves):
+    a single broadcast left join per endpoint both classifies the row
+    (touched ⇔ canon non-null) and rewrites it, so every big table is
+    scanned exactly twice (merge side / stable side) instead of once per
+    semi/anti/rewrite join. The split is collision-safe: a stable row can
+    only collide with a rewritten row at a canonical-target key, and every
+    row carrying a target key has canon non-null by construction, routing
+    it to the merge side.
     """
-    m = F.broadcast(mapping)
-    # touched keys: every alias AND every canonical target
-    touched = F.broadcast(
-        mapping.select("type", "id")
-        .unionByName(mapping.select("type",
-                                    F.col("canonical_id").alias("id")))
-        .distinct())
+    # flagged: every alias AND every canonical target, each with its canon
+    # (targets map to themselves) — one broadcast serves split + rewrite
+    flagged = F.broadcast(
+        mapping.unionByName(
+            mapping.select("type",
+                           F.col("canonical_id").alias("id"),
+                           F.col("canonical_id")))
+        .dropDuplicates(["type", "id"]))
 
     # chunk nodes are never linked (mapping covers entity types only) —
     # route them around the re-merge so chunk text stays out of the shuffle
     chunk_nodes = nodes.filter(F.col("type") == "Chunk")
-    entities = nodes.filter(F.col("type") != "Chunk")
-    ent_touched = entities.join(touched, ["type", "id"], "left_semi")
-    ent_stable = entities.join(touched, ["type", "id"], "left_anti")
+    entities = (nodes.filter(F.col("type") != "Chunk")
+                .join(flagged, ["type", "id"], "left"))
     ent_rewritten = (
-        ent_touched.join(m, ["type", "id"], "left")
-        .withColumn("canonical_id", F.coalesce("canonical_id", "id"))
-        .drop("id").withColumnRenamed("canonical_id", "id")
-    )
+        entities.filter(F.col("canonical_id").isNotNull())
+        .drop("id").withColumnRenamed("canonical_id", "id"))
+    ent_stable = entities.filter(F.col("canonical_id").isNull())
     canon_nodes = (
         merge.merge_nodes(ent_rewritten)
         .unionByName(ent_stable.select("id", "type", "properties",
@@ -168,50 +173,42 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
         .unionByName(chunk_nodes.select("id", "type", "properties",
                                         "url", "chunk_id")))
 
-    ms = m.select(F.col("type").alias("subj_type"), F.col("id").alias("subj"),
-                  F.col("canonical_id").alias("subj_canon"))
-    mo = m.select(F.col("type").alias("obj_type"), F.col("id").alias("obj"),
-                  F.col("canonical_id").alias("obj_canon"))
-    ts = touched.select(F.col("type").alias("subj_type"),
-                        F.col("id").alias("subj"))
-    to = touched.select(F.col("type").alias("obj_type"),
-                        F.col("id").alias("obj"))
+    fs = flagged.select(F.col("type").alias("subj_type"),
+                        F.col("id").alias("subj"),
+                        F.col("canonical_id").alias("subj_canon"))
+    fo = flagged.select(F.col("type").alias("obj_type"),
+                        F.col("id").alias("obj"),
+                        F.col("canonical_id").alias("obj_canon"))
     cols = ["subj", "subj_type", "pred", "obj", "obj_type",
             "properties", "url", "chunk_id"]
     key = ["subj", "subj_type", "pred", "obj", "obj_type"]
 
-    rels = edges.filter(F.col("pred") != "HAS")
-    # an edge is touched iff either endpoint key is touched
-    rel_touched = (rels.join(ts, ["subj_type", "subj"], "left_semi")
-                   .unionByName(
-                       rels.join(ts, ["subj_type", "subj"], "left_anti")
-                       .join(to, ["obj_type", "obj"], "left_semi")))
-    rel_stable = (rels.join(ts, ["subj_type", "subj"], "left_anti")
-                  .join(to, ["obj_type", "obj"], "left_anti"))
+    rels = (edges.filter(F.col("pred") != "HAS")
+            .join(F.broadcast(fs), ["subj_type", "subj"], "left")
+            .join(F.broadcast(fo), ["obj_type", "obj"], "left"))
+    touched_rel = (F.col("subj_canon").isNotNull()
+                   | F.col("obj_canon").isNotNull())
     rel_rewritten = (
-        rel_touched.join(F.broadcast(ms), ["subj_type", "subj"], "left")
-        .join(F.broadcast(mo), ["obj_type", "obj"], "left")
+        rels.filter(touched_rel)
         .withColumn("subj", F.coalesce("subj_canon", "subj"))
         .withColumn("obj", F.coalesce("obj_canon", "obj"))
-        .select(*cols)
-    )
+        .select(*cols))
+    rel_stable = rels.filter(~touched_rel)
 
     # HAS edges: only same-chunk alias collapses can duplicate them, and a
     # HAS edge can only change through its OBJECT (subj is a chunk, never
-    # linked). Dedup only the rewritten slice (tiny) and drop colliding
-    # stable rows via a broadcast anti-join — no large shuffle.
+    # linked). Rows at a touched object key (rewritten OR already at a
+    # target) dedup together (tiny slice); the rest cannot collide.
     has = (edges.filter(F.col("pred") == "HAS")
-           .join(F.broadcast(mo), ["obj_type", "obj"], "left")
-           .withColumn("obj", F.coalesce("obj_canon", "obj")))
-    has_changed = (has.filter(F.col("obj_canon").isNotNull())
+           .join(F.broadcast(fo), ["obj_type", "obj"], "left"))
+    has_touched = (has.filter(F.col("obj_canon").isNotNull())
+                   .withColumn("obj", F.col("obj_canon"))
                    .select(*cols).dropDuplicates(key))
-    has_stable = (has.filter(F.col("obj_canon").isNull())
-                  .select(*cols)
-                  .join(F.broadcast(has_changed.select(*key)), key, "left_anti"))
+    has_stable = has.filter(F.col("obj_canon").isNull()).select(*cols)
     canon_edges = (
         merge.merge_edges(rel_rewritten).select(*cols)
         .unionByName(rel_stable.select(*cols))
-        .unionByName(has_changed)
+        .unionByName(has_touched)
         .unionByName(has_stable)
     )
     return canon_nodes, canon_edges
