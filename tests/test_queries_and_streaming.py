@@ -83,3 +83,16 @@ def test_streaming_incremental_matches_batch(spark, tmp_path):
     a = sorted((r.subj, r.pred, r.obj) for r in got.collect())
     b = sorted((r.subj, r.pred, r.obj) for r in batch.collect())
     assert a == b
+
+
+def test_streaming_lang_counts_matches_batch(spark):
+    """The driver's streaming query drains the file stream to the same
+    per-lang counts as a batch groupBy over the identical parquet."""
+    from llm_knowledge_graph_spark.plans.kg_queries import kg_streaming_lang_counts
+    sf_dir = "/root/testdata/sf0.001"
+    got = {(r.lang, r.n_docs)
+           for r in kg_streaming_lang_counts(spark, sf_dir).collect()}
+    batch = {(r.lang, r.n_docs)
+             for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .groupBy("lang").agg(F.count("*").alias("n_docs")).collect()}
+    assert got == batch
