@@ -46,6 +46,13 @@ def main() -> None:
     # flagship: full KG construction over a corpus scaled with sf
     n_pages = max(400, int(20000 * sf))
 
+    # warm the python-worker fleet + JIT + plan caches (untimed), same
+    # protocol as tools/scaling_bench.py — the timed number measures the
+    # job, not session cold-start
+    warm = build_kg(spark, synthesize_pages(spark, 64, seed=1), PipelineConfig())
+    warm.canonical_edges.count()
+    spark.catalog.clearCache()
+
     def kg_build():
         pages = synthesize_pages(spark, n_pages, seed=42,
                                  parallelism=2 * cpus)
