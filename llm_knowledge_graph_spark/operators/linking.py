@@ -158,16 +158,43 @@ def similarity_edges(entities: DataFrame, num_perm: int = 64, bands: int = 16,
 def alias_dictionary_links(entities: DataFrame, alias_dict: DataFrame,
                            cosine_threshold: float = 0.0) -> DataFrame:
     """Optional curated-alias path (north rule: alias dictionary broadcast
-    as an Arrow table): alias_dict(alias, canonical_id[, embedding]) is tiny
-    → broadcast hash join on lower(name); emits (a=name, b=canonical_id)
-    link edges. Cosine gating applies when both sides carry embeddings."""
+    as an Arrow table + cosine-similarity scoring):
+    alias_dict(alias, canonical_id[, embedding]) is tiny → broadcast hash
+    join on lower(name); emits (a=name, b=canonical_id) link edges.
+
+    Cosine gating: when the dictionary carries an `embedding` column
+    (the canonical name's vector), the matched entity name is embedded by
+    the same deterministic encoder (reference_impl.embed_text — the
+    fixture stand-in for a real sentence encoder, batched through one
+    pandas/Arrow UDF) and the link is kept only if
+    cosine(name_vec, canonical_vec) >= cosine_threshold; the score rides
+    in the `jaccard` column. Without embeddings the score is 1.0
+    (join-match is the evidence)."""
+    has_emb = "embedding" in alias_dict.columns
     links = (
         entities.join(
             F.broadcast(alias_dict),
             F.lower(entities["id"]) == F.lower(alias_dict["alias"]),
         )
-        .select(F.col("id").alias("a"), F.col("canonical_id").alias("b"),
-                F.col("type").alias("type"))
-        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("id") != F.col("canonical_id"))
     )
-    return links.withColumn("jaccard", F.lit(1.0))
+    if not has_emb:
+        return links.select(
+            F.col("id").alias("a"), F.col("canonical_id").alias("b"),
+            F.col("type").alias("type")).withColumn("jaccard", F.lit(1.0))
+
+    from ..functions.vectors import cosine as cos_expr
+    from ..reference_impl import embed_text
+
+    @pandas_udf("array<float>")
+    def embed_udf(names: pd.Series) -> pd.Series:
+        return names.map(lambda s: embed_text(s.lower()))
+
+    return (
+        links.withColumn("_name_vec", embed_udf(F.col("id")))
+        .withColumn("score", cos_expr(F.col("_name_vec"), F.col("embedding")))
+        .filter(F.col("score") >= F.lit(cosine_threshold))
+        .select(F.col("id").alias("a"), F.col("canonical_id").alias("b"),
+                F.col("type").alias("type"),
+                F.round(F.col("score"), 6).alias("jaccard"))
+    )

@@ -17,6 +17,31 @@ def test_alias_dictionary_links(spark):
     assert {(r.a, r.b) for r in links} == {("Big Blue", "Ibm")}
 
 
+def test_alias_dictionary_cosine_gate(spark):
+    """With an `embedding` column the dictionary link is cosine-gated:
+    a name whose deterministic embedding matches the canonical vector
+    passes a high threshold; a curated-but-textually-distant alias is
+    dropped (hash embeddings of distinct strings are near-orthogonal —
+    swap in a real encoder and the gate becomes semantic)."""
+    from llm_knowledge_graph_spark.operators.linking import alias_dictionary_links
+    from llm_knowledge_graph_spark.reference_impl import embed_text
+    entities = spark.createDataFrame(
+        [("ACME Corp", "Organization"), ("Globex Inc", "Organization")],
+        "id string, type string")
+    emb = embed_text("acme corp")
+    alias_dict = spark.createDataFrame(
+        [("acme corp", "Acme Corp", emb), ("globex inc", "Acme Corp", emb)],
+        "alias string, canonical_id string, embedding array<float>")
+    strict = alias_dictionary_links(entities, alias_dict,
+                                    cosine_threshold=0.9).collect()
+    assert {(r.a, r.b) for r in strict} == {("ACME Corp", "Acme Corp")}
+    assert all(r.jaccard >= 0.9 for r in strict)
+    loose = alias_dictionary_links(entities, alias_dict,
+                                   cosine_threshold=-1.0).collect()
+    assert {(r.a, r.b) for r in loose} == {("ACME Corp", "Acme Corp"),
+                                           ("Globex Inc", "Acme Corp")}
+
+
 def test_pipeline_with_alias_dict_merges_curated_aliases(spark, pages_df):
     from llm_knowledge_graph_spark.config import PipelineConfig
     from llm_knowledge_graph_spark.plans.pipeline import build_kg
