@@ -176,13 +176,21 @@ Sandbox proxy notes:
   taskset-bounded {n_lo} vs {n_hi} cores on identical input, per the
   round brief. On a real cluster the same job submits via
   `spark-submit --py-files <package.zip> tools/run_pipeline.py`.
-* Levels above ~8 total cores are NOT representative on this VM: its
-  effective memory bandwidth saturates near 8 busy cores and degrades
-  beyond (measured with a fixed numpy STREAM loop: ~1.2 GB/s at 1
-  proc, peak ~7-10 GB/s near 8 procs, collapsing to ~2 GB/s at 32),
-  and drifts minute-to-minute with host contention. A real cluster
-  adds bandwidth with every executor host; this VM does not. The
-  {n_lo}→{n_hi} pair keeps both levels inside the VM's linear region.
+* The {n_lo}v{n_hi} pair is the fair proxy on this VM. Higher pairs
+  oversubscribe the box: at 32 task slots the single JVM's 32 task
+  threads + 32 python UDF workers + GC/shuffle threads compete for the
+  same 32 cores (measured 8v32 efficiency 0.33 from oversubscription,
+  while a STREAM sweep the same day showed memory bandwidth itself
+  still scaling to 32 procs). A real 4N-executor cluster adds hosts —
+  cores AND bandwidth — instead of packing one box.
+* Host speed also drifts 25-40% minute-to-minute (measured on a fixed
+  single-core STREAM loop across sessions: 1.2-6.7 GB/s); the
+  interleaved-rounds + min protocol above exists to cancel that drift.
+* Corpus size matters: the same job at 400k pages measured eff 0.605 —
+  at that scale ~19 s of size-independent driver work (plan
+  construction, Catalyst, job submission) dominates the 4N level. The
+  {n:,}-page run amortizes it, which is the regime the engine targets
+  (the north rule's 10^12-doc corpus is 10^5x larger still).
 """)
 
 
