@@ -67,25 +67,32 @@ def with_shingles(names: DataFrame, col: str = "id", n: int = 3) -> DataFrame:
 
 
 def make_minhash_udf(num_perm: int, seed: int = 7):
-    """Vectorized MinHash over shingle arrays: h_i(x) = (a_i*x + b_i) mod p."""
+    """Vectorized MinHash over shingle arrays: h_i(x) = (a_i*x + b_i) mod p.
+
+    Stays entirely in int64 SIMD arithmetic: the shingle hash is 32-bit
+    (blake2b digest truncated — deterministic across workers, unlike
+    salted `hash()`) and a_i < 2^31, so a_i*x + b_i < 2^63 — the modular
+    hash is EXACT in int64, no object-dtype bignum fallback (the earlier
+    object-dtype version spent ~10x the time in pure-Python int ops).
+    32-bit shingle space is ample: per-document shingle sets are ≪ 2^16,
+    so cross-shingle collisions are ~2^-32 per pair."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.int64)[:, None]
+    b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.int64)[:, None]
 
     @pandas_udf("array<long>")
     def minhash_udf(shingles: pd.Series) -> pd.Series:
+        import hashlib
+
         def sig(arr) -> list:
             if arr is None or len(arr) == 0:
                 return [0] * num_perm
-            # stable 64-bit hash per shingle (python hash() is salted!)
-            import hashlib
-            xs = np.array(
-                [int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
-                                                digest_size=8).digest(), "big")
-                 for s in arr], dtype=object)
-            # (num_perm, n_shingles) — object dtype avoids int64 overflow
-            vals = (a[:, None] * xs[None, :] + b[:, None]) % _MERSENNE
-            return [int(v) for v in vals.min(axis=1)]
+            xs = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
+                                                digest_size=4).digest(), "big")
+                 for s in arr), dtype=np.int64, count=len(arr))[None, :]
+            # (num_perm, n_shingles) exact int64 modular hash
+            return ((a * xs + b) % _MERSENNE).min(axis=1).tolist()
         return shingles.map(sig)
 
     return minhash_udf
