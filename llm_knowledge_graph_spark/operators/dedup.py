@@ -111,25 +111,28 @@ def ngram_jaccard_pairs(docs: DataFrame, key_col: str, text_col: str = "text",
 
 
 def make_simhash_udf(bits: int = 64):
-    """SimHash over word tokens: sign-sum of per-token blake2b bit vectors."""
+    """SimHash over word tokens: sign-sum of per-token blake2b bit vectors.
+
+    Vectorized: token hashes → (n_tokens, bits) ±1 bit matrix in one
+    numpy broadcast, column sign-sum, bit-packed — bit-identical to the
+    per-token/per-bit loop it replaces, without tokens×bits Python ops."""
+    shifts = np.arange(bits, dtype=np.uint64)[None, :]
+
     @pandas_udf("long")
     def simhash_udf(text: pd.Series) -> pd.Series:
         import hashlib
 
         def sim(t: str) -> int:
-            if not t:
+            toks = t.lower().split() if t else []
+            if not toks:
                 return 0
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in t.lower().split():
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                    "big")
-                for i in range(bits):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(bits):
-                if acc[i] > 0:
-                    v |= (1 << i)
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(tok.encode("utf-8"),
+                                                digest_size=8).digest(), "big")
+                 for tok in toks), dtype=np.uint64, count=len(toks))[:, None]
+            signs = (((hs >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
+            v = int(((signs.sum(axis=0) > 0).astype(np.uint64)
+                     << shifts[0]).sum(dtype=np.uint64))
             return v - (1 << 63) if v >= (1 << 63) else v  # to signed long
         return text.map(sim)
     return simhash_udf
