@@ -74,6 +74,32 @@ def test_connected_components_idempotent(spark):
     assert first == second == [("w", "w"), ("x", "w"), ("y", "w")]
 
 
+def test_canonical_mapping_driver_vs_distributed(spark):
+    """The driver union-find fast path and the distributed checkpointed
+    min-label propagation produce the SAME mapping (driver_threshold=0
+    forces the distributed loop on the same edges)."""
+    from llm_knowledge_graph_spark.operators.components import canonical_mapping
+
+    nodes = spark.createDataFrame(
+        [(c, "Person") for c in "abcdefgh"] + [("z", "Person")],
+        "id string, type string")
+    sim = spark.createDataFrame(
+        [("a", "b", "Person", 1.0), ("b", "c", "Person", 1.0),
+         ("f", "e", "Person", 1.0), ("g", "e", "Person", 1.0)],
+        "a string, b string, type string, jaccard double")
+    via_driver = sorted(map(tuple, canonical_mapping(
+        nodes, sim, driver_threshold=200_000).collect()))
+    via_distributed = sorted(map(tuple, canonical_mapping(
+        nodes, sim, driver_threshold=0).collect()))
+    # same linked keys, same canonical targets (identity rows may only
+    # appear in the distributed variant — compare the non-identity core)
+    core = lambda rows: sorted((t, i, c) for (t, i, c) in rows if i != c)
+    assert core(via_driver) == core(via_distributed)
+    assert {(t, i, c) for (t, i, c) in via_distributed if i != c} == {
+        ("Person", "b", "a"), ("Person", "c", "a"),
+        ("Person", "f", "e"), ("Person", "g", "e")}
+
+
 def test_minhash_lsh_recall_on_aliases(spark):
     """Every true alias pair must survive LSH blocking + scoring."""
     from llm_knowledge_graph_spark.corpus import alias_variants
