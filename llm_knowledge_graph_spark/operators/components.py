@@ -8,10 +8,11 @@ checkpointed frontier:
 until a fixpoint. Each iteration shuffles on the node id; `localCheckpoint`
 truncates the lineage every round so plan size / stack depth stays constant
 (mandatory — ref SURVEY §4.2). Convergence in O(diameter) rounds; alias
-clusters have diameter ≤ 2-3, and the iteration cap guards pathological
-chains. For planet-scale graphs swap the loop body for the large-star /
-small-star rewrite (Kiveris et al., "Connected Components in MapReduce"),
-which converges in O(log n) — the surrounding contract is unchanged.
+clusters have diameter ≤ 2-3. For graphs whose diameter is not bounded
+(pathological chains), `connected_components_star` implements the
+large-star/small-star rewrite (Kiveris et al., "Connected Components in
+MapReduce and Beyond"), converging in O(log n) rounds — it is the default
+distributed path in `canonical_mapping`.
 """
 
 from __future__ import annotations
@@ -54,6 +55,58 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return labels
 
 
+def connected_components_star(vertices: DataFrame, edges: DataFrame,
+                              max_iterations: int = 50) -> DataFrame:
+    """Two-phase star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): alternate large-star / small-star rewrites of
+    the edge list until fixpoint. Converges in O(log n) rounds regardless
+    of graph diameter — the scale path for pathological chains where
+    min-label propagation needs O(diameter) rounds.
+
+      large-star(u): m = min(Γ(u) ∪ {u}); for v ∈ Γ(u), v > u: edge (v, m)
+      small-star(u): m = min(Γ(u) ∪ {u}); for v ∈ Γ(u) ∪ {u} \\ {m},
+                     v ≤ u: edge (v, m)
+
+    Each phase is one groupBy-min + one re-join (no collect_list — per-node
+    state is a single min, map-side combinable). The edge list is
+    `localCheckpoint`ed per round (lineage truncation). At fixpoint the
+    edges form stars (child, root); isolated vertices map to themselves.
+    Same contract as `connected_components`: (id, component), component =
+    min member id. Deterministic and idempotent.
+    """
+    cur = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+
+    def phase(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.min("v").alias("_mn"))
+             .select("u", F.least(F.col("u"), F.col("_mn")).alias("m")))
+        j = sym.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v"))
+        else:
+            out = (j.filter(F.col("v") <= F.col("u")).select(
+                       F.col("v").alias("u"), F.col("m").alias("v"))
+                   .union(j.select("u", F.col("m").alias("v"))))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iterations):
+        nxt = phase(phase(cur, large=True), large=False).localCheckpoint()
+        # fixpoint when the (canonically oriented) edge sets are equal;
+        # counts + symmetric difference via exceptAll on the tiny star set
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).count() == 0:
+            cur = nxt
+            break
+        cur = nxt
+
+    # stars: (u=child, v=root); attach isolated vertices as self-components
+    roots = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (vertices.join(roots, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component")))
+
+
 def driver_union_find(edges: list) -> dict:
     """Union-find over (a, b) pairs — the small-graph fast path. The
     similarity graph holds only LINKED DISTINCT NAMES (≪ corpus size), so
@@ -79,7 +132,8 @@ def driver_union_find(edges: list) -> dict:
 
 def canonical_mapping(nodes: DataFrame, sim_edges: DataFrame,
                       max_iterations: int = 25,
-                      driver_threshold: int = 200_000) -> DataFrame:
+                      driver_threshold: int = 200_000,
+                      algorithm: str = "star") -> DataFrame:
     """sim_edges(a, b, type) → (type, id, canonical_id) for LINKED ids only
     (absent id ⇒ identity; rewrite_canonical coalesces).
 
@@ -89,7 +143,10 @@ def canonical_mapping(nodes: DataFrame, sim_edges: DataFrame,
     to the corpus — so canonicalization cost is corpus-size-independent.
     Below `driver_threshold` edges, a driver union-find replaces the
     distributed loop (same result, ~10 fewer Spark jobs); above it, the
-    checkpointed min-label propagation runs.
+    distributed algorithm runs: `algorithm="star"` (default) = two-phase
+    star contraction, O(log n) rounds independent of diameter;
+    `algorithm="label"` = checkpointed min-label propagation, O(diameter)
+    rounds (fine for alias clusters, which have diameter ≤ 2-3).
     """
     sep = "\x1f"  # unit separator — never appears in normalized ids/types
     spark = sim_edges.sparkSession
@@ -115,7 +172,9 @@ def canonical_mapping(nodes: DataFrame, sim_edges: DataFrame,
 
     verts = (edg.select(F.col("a").alias("id"))
              .union(edg.select(F.col("b").alias("id"))).distinct())
-    comp = connected_components(verts, edg, max_iterations)
+    cc = (connected_components_star if algorithm == "star"
+          else connected_components)
+    comp = cc(verts, edg, max_iterations)
     split_id = F.split(F.col("id"), sep, 2)
     split_comp = F.split(F.col("component"), sep, 2)
     return comp.select(

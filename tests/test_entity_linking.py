@@ -74,6 +74,33 @@ def test_connected_components_idempotent(spark):
     assert first == second == [("w", "w"), ("x", "w"), ("y", "w")]
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    """connected_components_star ≡ connected_components on chain + star +
+    isolated; and star handles a 100-node chain (diameter 99) within its
+    O(log n) round budget, where label propagation would need 99 rounds."""
+    from llm_knowledge_graph_spark.operators.components import (
+        connected_components, connected_components_star)
+
+    verts = spark.createDataFrame(
+        [(c,) for c in "abcdefgh"] + [("z",)], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("f", "e"), ("g", "e"), ("h", "e")], "a string, b string")
+    lab = sorted(map(tuple, connected_components(verts, edges).collect()))
+    star = sorted(map(tuple,
+                      connected_components_star(verts, edges).collect()))
+    assert lab == star
+
+    n = 100
+    ids = [f"n{i:03d}" for i in range(n)]
+    chain_v = spark.createDataFrame([(i,) for i in ids], "id string")
+    chain_e = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "a string, b string")
+    got = {r.id: r.component for r in connected_components_star(
+        chain_v, chain_e, max_iterations=12).collect()}
+    assert got == {i: "n000" for i in ids}
+
+
 def test_canonical_mapping_driver_vs_distributed(spark):
     """The driver union-find fast path and the distributed checkpointed
     min-label propagation produce the SAME mapping (driver_threshold=0
