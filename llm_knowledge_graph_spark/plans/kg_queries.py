@@ -73,6 +73,21 @@ def kg_linking_mapping(spark, sf_dir):
             .orderBy("type", "id"))
 
 
+def kg_canonical_star(spark, sf_dir):
+    """Canonicalization via the DISTRIBUTED two-phase star contraction
+    (driver_threshold=0 forces the O(log n) Kiveris et al. path instead of
+    the driver union-find) — must emit the same non-identity mapping as
+    kg_linking_mapping, evidencing driver/distributed equivalence at the
+    driver surface (rows-only: same rows as kg_linking_mapping)."""
+    from ..operators.components import canonical_mapping
+    res = _kg(spark)
+    ent = res.nodes.filter(F.col("type") != "Chunk")
+    m = canonical_mapping(ent.select("id", "type"), res.sim_edges,
+                          driver_threshold=0, algorithm="star")
+    return (m.filter(F.col("id") != F.col("canonical_id"))
+            .orderBy("type", "id"))
+
+
 def kg_minhash_near_dup_docs(spark, sf_dir):
     """MinHash-LSH near-duplicate detection on the documents table
     (driver table; rows-only — MinHash is not ANSI-SQL-expressible)."""
@@ -199,6 +214,7 @@ KG_QUERIES = {
     "kg_multi_hop": kg_multi_hop,
     "kg_entity_contains": kg_entity_contains,
     "kg_linking_mapping": kg_linking_mapping,
+    "kg_canonical_star": kg_canonical_star,
     "kg_minhash_near_dup_docs": kg_minhash_near_dup_docs,
     "kg_simhash_pairs": kg_simhash_pairs,
     "kg_ann_lsh_topk": kg_ann_lsh_topk,
