@@ -68,6 +68,44 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec, k: int = 5,
         bucketed.filter(F.col("bucket") == qb), query_vec, k, id_col, vec_col)
 
 
+def lsh_cosine_near_dup_pairs(embeddings: DataFrame,
+                              threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              n_planes: int = 4, n_tables: int = 4) -> DataFrame:
+    """Pairwise embedding near-dup via multi-table hyperplane LSH — the
+    scale path next to the brute-force `cosine_pairs` baseline: candidate
+    pairs only form inside a (table, bucket) block (high-cosine vectors
+    agree on all planes of some table w.h.p.), then exact cosine verifies.
+    The self-join shuffles on the uniform (table, bucket) key — no O(n²)
+    cross product, no skew."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"a long, b long, score double")
+    dim = len(first[0])
+    buckets = [make_hyperplane_bucket_udf(dim, n_planes, seed=13 + t)
+               for t in range(n_tables)]
+    banded = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), buckets[t](F.col(vec_col)).alias("h"))
+            for t in range(n_tables)])).alias("tb"),
+    ).select(id_col, vec_col, F.col("tb.t").alias("t"), F.col("tb.h").alias("h"))
+    left = banded.select("t", "h", F.col(id_col).alias("a"),
+                         F.col(vec_col).alias("va"))
+    right = banded.select("t", "h", F.col(id_col).alias("b"),
+                          F.col(vec_col).alias("vb"))
+    return (
+        left.join(right, ["t", "h"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )
+
+
 def ivf_assign(embeddings: DataFrame, centroids: list,
                vec_col: str = "embedding") -> DataFrame:
     """Adds `cell`: index of the nearest centroid by cosine (IVF coarse

@@ -115,6 +115,21 @@ def kg_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(e.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
+def kg_cosine_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup via multi-table hyperplane LSH (the scale path
+    next to the brute-force cosine_near_dup_pairs oracle query; rows-only).
+    Planted exact duplicates (vec_id+100000, same vector) land in the same
+    bucket of every table, so LSH recall on them is exactly 1.0 — the
+    returned pairs are the planted (i, i+100000) set plus any true
+    >=0.99-cosine pairs in the data."""
+    from ..operators.similarity import lsh_cosine_near_dup_pairs
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    planted = e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return (lsh_cosine_near_dup_pairs(e.unionByName(planted), threshold=0.99)
+            .orderBy("a", "b"))
+
+
 def kg_ann_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbors (second ANN scale path next to the
     hyperplane-LSH variant; rows-only — approximate by design): coarse
@@ -219,6 +234,7 @@ KG_QUERIES = {
     "kg_simhash_pairs": kg_simhash_pairs,
     "kg_ann_lsh_topk": kg_ann_lsh_topk,
     "kg_ann_ivf_topk": kg_ann_ivf_topk,
+    "kg_cosine_near_dup_lsh": kg_cosine_near_dup_lsh,
     "kg_streaming_lang_counts": kg_streaming_lang_counts,
     "kg_multimodal_features": kg_multimodal_features,
 }

@@ -116,3 +116,18 @@ def test_multimodal_real_decoder_is_stubbed(spark):
         extract_features, synthesize_media)
     with pytest.raises(NotImplementedError):
         extract_features(synthesize_media(spark, n=2), fake=False)
+
+
+def test_lsh_cosine_near_dup_recall_on_exact_dups(spark):
+    """Exact-duplicate vectors share every LSH table bucket — recall 1.0
+    by construction; exact cosine verify scores them 1.0."""
+    from llm_knowledge_graph_spark.operators.similarity import (
+        lsh_cosine_near_dup_pairs)
+    from pyspark.sql import functions as F
+    e = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+         .filter(F.col("vec_id") < 50).select("vec_id", "embedding"))
+    planted = e.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    pairs = {(r.a, r.b): r.score for r in lsh_cosine_near_dup_pairs(
+        e.unionByName(planted), threshold=0.99).collect()}
+    for i in range(50):
+        assert pairs.get((i, i + 1000)) == 1.0
