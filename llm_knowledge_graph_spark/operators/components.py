@@ -11,8 +11,8 @@ truncates the lineage every round so plan size / stack depth stays constant
 clusters have diameter ≤ 2-3. For graphs whose diameter is not bounded
 (pathological chains), `connected_components_star` implements the
 large-star/small-star rewrite (Kiveris et al., "Connected Components in
-MapReduce and Beyond"), converging in O(log n) rounds — it is the default
-distributed path in `canonical_mapping`.
+MapReduce and Beyond"), converging in O(log² n) rounds (proven; O(log n)
+empirically) — it is the default distributed path in `canonical_mapping`.
 """
 
 from __future__ import annotations
@@ -59,8 +59,9 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
                               max_iterations: int = 50) -> DataFrame:
     """Two-phase star contraction (Kiveris et al., "Connected Components in
     MapReduce and Beyond"): alternate large-star / small-star rewrites of
-    the edge list until fixpoint. Converges in O(log n) rounds regardless
-    of graph diameter — the scale path for pathological chains where
+    the edge list until fixpoint. Converges in O(log² n) rounds (the
+    proven Kiveris et al. bound; O(log n) empirically) regardless of graph
+    diameter — the scale path for pathological chains where
     min-label propagation needs O(diameter) rounds.
 
       large-star(u): m = min(Γ(u) ∪ {u}); for v ∈ Γ(u), v > u: edge (v, m)
@@ -92,17 +93,26 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
                    .union(j.select("u", F.col("m").alias("v"))))
         return out.filter(F.col("u") != F.col("v")).distinct()
 
+    converged = False
     for _ in range(max_iterations):
         nxt = phase(phase(cur, large=True), large=False).localCheckpoint()
         # fixpoint when the (canonically oriented) edge sets are equal;
         # counts + symmetric difference via exceptAll on the tiny star set
         if nxt.count() == cur.count() and nxt.exceptAll(cur).count() == 0:
             cur = nxt
+            converged = True
             break
         cur = nxt
 
     # stars: (u=child, v=root); attach isolated vertices as self-components
     roots = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    if not converged:
+        # iteration cap hit before fixpoint: the edge set may not be a set
+        # of stars (multiple rows per child) — degrade to one-row-per-id by
+        # taking the min root, so the mapping never emits duplicate ids
+        # (labels may be non-canonical, but the contract shape holds, like
+        # the label-propagation path's cap behavior)
+        roots = roots.groupBy("id").agg(F.min("component").alias("component"))
     return (vertices.join(roots, "id", "left")
             .select("id", F.coalesce("component", "id").alias("component")))
 

@@ -22,11 +22,16 @@ from pyspark.sql.functions import pandas_udf
 from .linking import make_minhash_udf
 
 
-def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(n_docs, n_distinct_texts, n_dup_docs) — one aggregation."""
-    h = docs.select(F.md5(F.col(text_col)).alias("h"))
-    per = h.groupBy("h").agg(F.count("*").alias("c"))
-    return per.agg(
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text",
+                      group_cols=()) -> DataFrame:
+    """(*group_cols, n_docs, n_distinct_texts, n_dup_docs) — two pipelined
+    map-side-combinable hash aggregations (global when group_cols is empty).
+    Grouped output exposes per-group duplicate mass instead of one opaque
+    corpus-wide row."""
+    group_cols = list(group_cols)
+    h = docs.select(*group_cols, F.md5(F.col(text_col)).alias("h"))
+    per = h.groupBy(*group_cols, "h").agg(F.count("*").alias("c"))
+    return per.groupBy(*group_cols).agg(
         F.sum("c").alias("n_docs"),
         F.count("*").alias("n_distinct_texts"),
         (F.sum("c") - F.count("*")).alias("n_dup_docs"),

@@ -10,7 +10,7 @@ Spark-first design notes:
     pre-extracted, project `html` away before this stage.
   * Byte-identity per url (north rule) is guaranteed because the UDF calls
     the same pure function as the plain-Python oracle
-    (reference_impl.html_to_text) — tested in tests/test_html_text.py.
+    (reference_impl.html_to_text) — tested in tests/test_extraction_fidelity.py.
 """
 
 from __future__ import annotations

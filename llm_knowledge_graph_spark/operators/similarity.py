@@ -81,8 +81,14 @@ def lsh_cosine_near_dup_pairs(embeddings: DataFrame,
     cross product, no skew."""
     first = embeddings.select(vec_col).first()
     if first is None:
+        # empty-input schema must match the non-empty path — derive the
+        # pair-id type from the actual id column (string ids stay string)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        id_type = embeddings.schema[id_col].dataType
         return embeddings.sparkSession.createDataFrame(
-            [], f"a long, b long, score double")
+            [], StructType([StructField("a", id_type),
+                            StructField("b", id_type),
+                            StructField("score", DoubleType())]))
     dim = len(first[0])
     buckets = [make_hyperplane_bucket_udf(dim, n_planes, seed=13 + t)
                for t in range(n_tables)]
@@ -136,6 +142,14 @@ def ivf_ann_topk(embeddings: DataFrame, query_vec, k: int = 5,
     import numpy as np
     cents = [r[0] for r in (embeddings.orderBy(id_col)
                             .select(vec_col).limit(n_centroids).collect())]
+    if not cents:
+        # empty corpus → empty top-k with the brute-force output schema
+        # (ivf_assign would hit scores[0] on an empty centroid list)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        id_type = embeddings.schema[id_col].dataType
+        return embeddings.sparkSession.createDataFrame(
+            [], StructType([StructField(id_col, id_type),
+                            StructField("score", DoubleType())]))
     q = np.asarray(query_vec, dtype=np.float64)
 
     def cos(a):

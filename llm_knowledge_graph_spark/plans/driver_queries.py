@@ -118,9 +118,12 @@ def q_events_type_stats(spark, sf_dir):
 
 
 def q_nations_without_suppliers(spark, sf_dir):
-    """Set op / anti-join (suppliers are sparse → non-trivial result)."""
+    """Anti-join: nations with no HIGH-BALANCE supplier (s_acctbal > 8000).
+    The unfiltered predicate returns 0 rows at sf>=0.01 (every nation has
+    some supplier), which verifies nothing — the selective predicate yields
+    ~13 rows at sf0.01, so the anti-join is evidenced by real output."""
     n = _t(spark, sf_dir, "nation")
-    s = _t(spark, sf_dir, "supplier")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 8000)
     return (n.join(s, n.n_nationkey == s.s_nationkey, "left_anti")
             .select("n_name").orderBy("n_name"))
 
@@ -171,9 +174,15 @@ def q_doc_token_stats(spark, sf_dir):
 
 
 def q_doc_exact_dedup(spark, sf_dir):
-    """Exact dedup stats: one md5 hash aggregation."""
-    d = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup_stats(d, "text")
+    """Exact dedup stats per language on a 32-char text-prefix key (the
+    boilerplate-prefix dedup a crawl pipeline runs): the full-text key has
+    zero duplicates at sf0.01 (1 trivial aggregate row), while the prefix
+    key exposes ~24 dup docs across 5 language groups — non-trivial rows
+    verifying the hash-groupBy dedup path."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "prefix", F.substring("text", 1, 32))
+    return (dedup.exact_dedup_stats(d, "prefix", group_cols=["lang"])
+            .orderBy("lang"))
 
 
 def q_doc_stopword_ratio(spark, sf_dir):
@@ -223,9 +232,11 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup (brute-force baseline, bounded input;
-    exact integer division → engine-identical doubles)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return (dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.2)
+    exact integer division → engine-identical doubles). doc_id < 300 at
+    threshold 0.12 emits ~10 pairs at sf0.01 (the round-1 settings emitted
+    a single pair, verifying almost nothing)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.12)
             .orderBy("a", "b"))
 
 
@@ -384,21 +395,25 @@ def q_label_centroid_norms(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: Dict[str, str] = {
+    # NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT → pandas
+    # float64, which breaks the driver's dtype-sensitive value hash against
+    # Spark's int64 even when values are equal. Every integer SUM below is
+    # therefore wrapped in an outer CAST(SUM(...) AS BIGINT).
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
                COUNT(*) AS count_order,
-               ROUND(SUM(CAST(l_quantity AS BIGINT)) / COUNT(*), 4) AS avg_qty,
-               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / COUNT(*), 4) AS avg_price_cents
+               ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / COUNT(*), 4) AS avg_qty,
+               ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / COUNT(*), 4) AS avg_price_cents
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
     "top_customers": """
         SELECT c_custkey, c_name,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_cents,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
                COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_custkey, c_name
@@ -407,7 +422,7 @@ ORACLE_SQL: Dict[str, str] = {
     """,
     "region_revenue": """
         SELECT r_name,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                COUNT(*) AS n_lineitems
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -423,8 +438,8 @@ ORACLE_SQL: Dict[str, str] = {
     """,
     "market_segment_stats": """
         SELECT c_mktsegment, COUNT(*) AS n_customers,
-               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents,
-               ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_acctbal
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+               ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*), 4) AS avg_acctbal
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "events_latest_per_user": """
@@ -437,18 +452,19 @@ ORACLE_SQL: Dict[str, str] = {
     """,
     "events_type_stats": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
-               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_value
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*), 4) AS avg_value
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "nations_without_suppliers": """
         SELECT n_name FROM nation
-        WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+        WHERE n_nationkey NOT IN
+              (SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000)
         ORDER BY n_name
     """,
     "part_type_counts": """
         SELECT p_type, COUNT(*) AS n,
-               SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS retail_cents
+               CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
         FROM part WHERE p_size > 25
         GROUP BY p_type ORDER BY p_type
     """,
@@ -459,7 +475,8 @@ ORACLE_SQL: Dict[str, str] = {
         ORDER BY event_id
     """,
     "doc_lang_counts": """
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang ORDER BY lang
     """,
     "doc_token_stats": """
@@ -470,9 +487,13 @@ ORACLE_SQL: Dict[str, str] = {
         ORDER BY n_tokens DESC, doc_id LIMIT 20
     """,
     "doc_exact_dedup": """
-        SELECT SUM(c) AS n_docs, COUNT(*) AS n_distinct_texts,
-               SUM(c) - COUNT(*) AS n_dup_docs
-        FROM (SELECT md5(text) h, COUNT(*) c FROM documents GROUP BY 1)
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_distinct_texts,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_docs
+        FROM (SELECT lang, md5(substr(text, 1, 32)) h, COUNT(*) c
+              FROM documents GROUP BY 1, 2)
+        GROUP BY lang ORDER BY lang
     """,
     "doc_stopword_ratio": """
         SELECT doc_id, lang,
@@ -506,7 +527,7 @@ ORACLE_SQL: Dict[str, str] = {
                        range(1, greatest(len(string_split(lower(trim(text)), ' ')) - 1, 1) + 1),
                        i -> array_to_string(string_split(lower(trim(text)), ' ')[i:i+1], ' ')
                    )) AS shingles
-            FROM documents WHERE doc_id < 150
+            FROM documents WHERE doc_id < 300
         )
         SELECT a.key AS a, b.key AS b,
                len(list_intersect(a.shingles, b.shingles))
@@ -516,7 +537,7 @@ ORACLE_SQL: Dict[str, str] = {
         WHERE a.key < b.key
           AND len(list_intersect(a.shingles, b.shingles))
               / (len(a.shingles) + len(b.shingles)
-                 - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.12
         ORDER BY a, b
     """,
     "doc_lang_id": """
@@ -587,7 +608,7 @@ ORACLE_SQL: Dict[str, str] = {
     """,
     "orders_monthly_revenue": """
         SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                COUNT(*) AS n_orders
         FROM orders GROUP BY yr, mo ORDER BY yr, mo
     """,
@@ -598,7 +619,8 @@ ORACLE_SQL: Dict[str, str] = {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         )
         SELECT CAST(floor(delay_days / 7.0) AS BIGINT) AS delay_week,
-               COUNT(*) AS n, SUM(delay_days) AS sum_delay_days,
+               COUNT(*) AS n,
+               CAST(SUM(delay_days) AS BIGINT) AS sum_delay_days,
                MIN(delay_days) AS min_delay, MAX(delay_days) AS max_delay
         FROM d GROUP BY delay_week ORDER BY delay_week
     """,

@@ -158,7 +158,13 @@ def kg_streaming_lang_counts(spark, sf_dir):
          .outputMode("complete")
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
+    if not finished:
+        # timeout: the memory sink holds a PARTIAL complete-mode aggregate —
+        # stop the straggler and fail loudly instead of returning it as final
+        q.stop()
+        raise TimeoutError(
+            "kg_streaming_lang_counts: stream did not drain within 120s")
     return spark.table("kg_stream_lang_counts").orderBy("lang")
 
 

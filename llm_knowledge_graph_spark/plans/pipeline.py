@@ -72,11 +72,17 @@ def build_kg(spark: SparkSession, pages: DataFrame,
     # pruning serves each consumer. The two checkpoints are independent →
     # materialize them CONCURRENTLY.
     from concurrent.futures import ThreadPoolExecutor
+    # Chunk-HAS = derived chunk→entity edges; an extractor MAY legitimately
+    # emit an entity-entity relationship normalizing to "HAS" (e.g. "has"
+    # upper-cased) — those are ordinary relationships in the reference and
+    # must flow the relationship path, so routing keys on (pred, subj_type),
+    # matching the skip condition in extract.extract_pages_flat.
+    chunk_has = (F.col("pred") == "HAS") & (F.col("subj_type") == "Chunk")
     with ThreadPoolExecutor(2) as pool:
         f_nodes = pool.submit(lambda: merge.merge_nodes(
             nodes_raw.filter(F.col("type") != "Chunk")).localCheckpoint())
         f_edges = pool.submit(lambda: merge.merge_edges(
-            edges_raw.filter(F.col("pred") != "HAS")).localCheckpoint())
+            edges_raw.filter(~chunk_has)).localCheckpoint())
         entity_merged, rel_merged = f_nodes.result(), f_edges.result()
     nodes = entity_merged.unionByName(
         chunk_nodes.select(*entity_merged.columns))
@@ -183,7 +189,10 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
             "properties", "url", "chunk_id"]
     key = ["subj", "subj_type", "pred", "obj", "obj_type"]
 
-    rels = (edges.filter(F.col("pred") != "HAS")
+    # chunk-HAS only — entity-entity HAS edges are ordinary relationships
+    # (see build_kg) and take the rels path, where both endpoints rewrite
+    chunk_has = (F.col("pred") == "HAS") & (F.col("subj_type") == "Chunk")
+    rels = (edges.filter(~chunk_has)
             .join(F.broadcast(fs), ["subj_type", "subj"], "left")
             .join(F.broadcast(fo), ["obj_type", "obj"], "left"))
     touched_rel = (F.col("subj_canon").isNotNull()
@@ -199,7 +208,7 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
     # HAS edge can only change through its OBJECT (subj is a chunk, never
     # linked). Rows at a touched object key (rewritten OR already at a
     # target) dedup together (tiny slice); the rest cannot collide.
-    has = (edges.filter(F.col("pred") == "HAS")
+    has = (edges.filter(chunk_has)
            .join(F.broadcast(fo), ["obj_type", "obj"], "left"))
     has_touched = (has.filter(F.col("obj_canon").isNotNull())
                    .withColumn("obj", F.col("obj_canon"))

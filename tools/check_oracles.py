@@ -2,6 +2,12 @@
 entry at sf0.01 and compares against oracle_sql() via DuckDB —
 row count + column names + order-insensitive exact value comparison.
 
+Driver-faithful detail: both sides are compared THROUGH pandas DataFrames
+(Spark ``toPandas()`` vs DuckDB ``.df()``) so dtype artifacts the driver's
+value hash sees are visible here too — e.g. DuckDB ``SUM(BIGINT)`` returns
+HUGEINT which pandas renders as float64, mismatching Spark's int64 even
+when the values are equal (the round-1 root cause for 10 hash misses).
+
 Usage: python tools/check_oracles.py [sf_dir] [name ...]
 """
 
@@ -19,16 +25,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def normalize(rows, cols):
+def normalize(pdf, cols):
+    """Order-insensitive value fingerprint of a pandas DataFrame, columns
+    sorted by name, floats rounded — dtype-sensitive via repr (int64 42
+    != float64 42.0), like the driver's value hash."""
     out = []
-    for row in rows:
+    for _, row in pdf.iterrows():
         vals = []
-        for c in cols:
+        for c in sorted(cols):
             v = row[c]
             if isinstance(v, float):
                 v = round(v, 9)
-            vals.append((c, repr(v)))
-        out.append(tuple(v for _, v in sorted(vals)))
+            vals.append(repr(v))
+        out.append(tuple(vals))
     return sorted(out)
 
 
@@ -55,19 +64,19 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            spark_rows = [r.asDict() for r in sdf.collect()]
+            spark_pdf = sdf.toPandas()
             spark_cols = sorted(sdf.columns)
         except Exception as exc:
             failures.append((name, f"SPARK ERROR: {exc}"))
             print(f"[FAIL] {name}: spark error: {exc}")
             continue
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(spark_rows)} rows, cols={spark_cols}")
+            print(f"[rows-only] {name}: {len(spark_pdf)} rows, cols={spark_cols}")
             continue
         try:
             rel = con.sql(oracles[name])
             duck_cols = sorted(rel.columns)
-            duck_rows = [dict(zip(rel.columns, row)) for row in rel.fetchall()]
+            duck_pdf = rel.df()
         except Exception as exc:
             failures.append((name, f"ORACLE ERROR: {exc}"))
             print(f"[FAIL] {name}: oracle error: {exc}")
@@ -76,18 +85,18 @@ def main():
             failures.append((name, f"schema {spark_cols} != {duck_cols}"))
             print(f"[FAIL] {name}: schema {spark_cols} != {duck_cols}")
             continue
-        if len(spark_rows) != len(duck_rows):
-            failures.append((name, f"rowcount {len(spark_rows)} != {len(duck_rows)}"))
-            print(f"[FAIL] {name}: rowcount {len(spark_rows)} != {len(duck_rows)}")
+        if len(spark_pdf) != len(duck_pdf):
+            failures.append((name, f"rowcount {len(spark_pdf)} != {len(duck_pdf)}"))
+            print(f"[FAIL] {name}: rowcount {len(spark_pdf)} != {len(duck_pdf)}")
             continue
-        a = normalize(spark_rows, spark_cols)
-        b = normalize(duck_rows, duck_cols)
+        a = normalize(spark_pdf, spark_cols)
+        b = normalize(duck_pdf, duck_cols)
         if a != b:
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             failures.append((name, f"values differ: {diffs}"))
             print(f"[FAIL] {name}: values differ, e.g. {diffs}")
         else:
-            print(f"[ ok ] {name}: {len(spark_rows)} rows match")
+            print(f"[ ok ] {name}: {len(spark_pdf)} rows match")
 
     print(f"\n{len(failures)} failures")
     spark.stop()
