@@ -22,6 +22,14 @@ class PipelineConfig:
     # strict-mode schema enforcement (ref code/pdf_graphrag.py:509-564)
     allowed_entities: Optional[List[str]] = None
     allowed_relationships: Optional[List[str]] = None
+    # open-domain schema detection + refinement (E1+E3, ref
+    # code/pdf_graphrag.py:577-687): when True and no explicit allowed
+    # lists are given, a coarse-chunk (1200/200) detection pass proposes
+    # the schema and extraction enforces it strict-mode — the reference's
+    # two-pass detect→refine→extract flow
+    auto_schema: bool = False
+    schema_chunk_size: int = 1200   # ref code/pdf_graphrag.py:811
+    schema_chunk_overlap: int = 200
     # entity linking (MinHash-LSH blocking; north rule)
     minhash_permutations: int = 64
     lsh_bands: int = 16           # 16 bands x 4 rows: recalls jaccard >~0.35

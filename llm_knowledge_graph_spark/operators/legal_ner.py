@@ -1,0 +1,120 @@
+"""E8/E9: rule-based legal NER — the full pattern breadth of the reference's
+LegalNLPProcessor (ref code/legal-llm/legal_graphrag.py:103-230):
+
+  * statute citations      "42 U.S.C. § 1983"     (ref :112-117, STATUTE)
+  * case citations         "123 F.3d 456"         (ref :120-124, CASE_CITATION)
+  * CFR regulations        "29 CFR 1910.1200"     (ref :127-131, REGULATION)
+  * obligation sentences   shall / shall not / may (ref :134-136, :204-210)
+  * effective dates        (ref :139-142; deterministic ISO-date stand-in)
+  * amounts (MONEY)        (ref :199-202; deterministic $-regex stand-in)
+  * definitions            '"X" means ...'        (ref :212-219)
+  * section headers        'Section N: title'     (ref :221-228)
+
+Spark-first: every extractor is a pure JVM column expression
+(regexp_extract_all / split / filter — whole-stage codegen, zero Python),
+unlike the reference's spaCy EntityRuler token patterns. The regexes stay
+in the RE2 ∩ Java-regex common subset (no lookaround, no backrefs) so the
+SAME pattern strings run under DuckDB in the driver's oracle.
+
+The reference resolves PERSON/ORG/DATE/MONEY via spaCy's statistical NER
+(ref :189-202); per the north rule those are replaced by deterministic
+patterns — dates and amounts port exactly (format-driven), parties ride
+the main extractor's SVO name matching (operators/extract.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2- and Java-compatible pattern strings (shared with the DuckDB oracle).
+STATUTE_RE = r"(?i)\d+\s+u\.?s\.?c\.?\s+(?:§|section)\s+\d+"
+CASE_CITATION_RE = r"\d+\s+F\.\d?d?\s+\d+"
+CFR_RE = r"\d+\s+CFR\s+\d+(?:\.\d+)?"
+MONEY_RE = r"\$\d+(?:,\d{3})*(?:\.\d{2})?"
+ISO_DATE_RE = r"\d{4}-\d{2}-\d{2}"
+# ref :213 (same pattern as reference_impl._DEFINITION_RE, RE2-safe)
+DEFINITION_RE = r'(?i)"([^"]+)"\s+(?:means?|refers? to|is defined as)\s+([^.]+\.)'
+# ref :222
+SECTION_RE = r"(?:Section|Article|§)\s+(\d+(?:\.\d+)*)[:.]?\s*([^\n]+)"
+# sentence boundary WITHOUT lookbehind (RE2 has none): consume '.' + space
+SENT_SPLIT_RE = r"\.\s+"
+
+
+def _extract_all(text_col, pattern: str, group: int = 0):
+    return F.regexp_extract_all(text_col, F.lit(pattern), F.lit(group))
+
+
+def extract_citations(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """→ (id, ctype, cite): one row per citation occurrence, typed
+    STATUTE / CASE_CITATION / REGULATION like the reference's labels."""
+    t = F.col(text_col)
+    tagged = F.concat(
+        F.transform(_extract_all(t, STATUTE_RE),
+                    lambda c: F.struct(F.lit("STATUTE").alias("ctype"),
+                                       c.alias("cite"))),
+        F.transform(_extract_all(t, CASE_CITATION_RE),
+                    lambda c: F.struct(F.lit("CASE_CITATION").alias("ctype"),
+                                       c.alias("cite"))),
+        F.transform(_extract_all(t, CFR_RE),
+                    lambda c: F.struct(F.lit("REGULATION").alias("ctype"),
+                                       c.alias("cite"))),
+    )
+    return (df.select(F.col(id_col), F.explode(tagged).alias("c"))
+            .select(id_col, F.col("c.ctype").alias("ctype"),
+                    F.col("c.cite").alias("cite")))
+
+
+def obligation_counts(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """→ (id, n_obligation, n_prohibition, n_permission): sentence-level
+    shall / shall not / may classification (ref :204-210: a sentence with
+    'shall' is an obligation, 'prohibition' when it contains 'shall not';
+    'may' → PERMISSION ref :135)."""
+    sents = F.split(F.lower(F.col(text_col)), SENT_SPLIT_RE)
+    has_shall = F.filter(sents, lambda s: s.contains("shall"))
+    n_prohib = F.size(F.filter(sents, lambda s: s.contains("shall not")))
+    n_perm = F.size(F.filter(sents, lambda s: s.contains("may")))
+    return df.select(
+        F.col(id_col),
+        (F.size(has_shall) - n_prohib).alias("n_obligation"),
+        n_prohib.alias("n_prohibition"),
+        n_perm.alias("n_permission"),
+    )
+
+
+def extract_definitions(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """→ (id, term, definition): first definition per document (ref :212-219
+    pattern; regexp_extract returns '' when absent — filtered out)."""
+    t = F.col(text_col)
+    return (df.select(
+        F.col(id_col),
+        F.regexp_extract(t, DEFINITION_RE, 1).alias("term"),
+        F.regexp_extract(t, DEFINITION_RE, 2).alias("definition"),
+    ).filter(F.col("term") != ""))
+
+
+def extract_sections(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """→ (id, sec_number, sec_title): first section header per document
+    (ref :221-228)."""
+    t = F.col(text_col)
+    return (df.select(
+        F.col(id_col),
+        F.regexp_extract(t, SECTION_RE, 1).alias("sec_number"),
+        F.regexp_extract(t, SECTION_RE, 2).alias("sec_title"),
+    ).filter(F.col("sec_number") != ""))
+
+
+def extract_dates_amounts(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """→ (id, eff_date, amount): deterministic DATE/MONEY stand-ins for the
+    reference's spaCy NER classes (ref :194-202)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_extract(t, ISO_DATE_RE, 0).alias("eff_date"),
+        F.regexp_extract(t, MONEY_RE, 0).alias("amount"),
+    )

@@ -343,6 +343,105 @@ def q_ship_delay_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Legal NER surface (E8/E9 full pattern breadth, ref
+# code/legal-llm/legal_graphrag.py:103-230). The driver's documents table is
+# bag-of-words (no legal content), so each query first synthesizes legal
+# text as a DETERMINISTIC function of doc_id — the identical expression runs
+# in the DuckDB oracle, so the regex extraction itself is what is verified.
+# All extractors are pure JVM regexp expressions (operators/legal_ner.py).
+# ---------------------------------------------------------------------------
+
+def _synth_legal_text() -> F.Column:
+    """Deterministic legal sentence bundle per doc_id: one section header
+    line, a statute obligation, a rotating shall/shall-not/may clause, case
+    + CFR citations, and a definition carrying an ISO date and an amount."""
+    d = F.col("doc_id")
+
+    def s(e):
+        return e.cast("string")
+
+    return F.concat(
+        F.lit("Section "), s(d % 40 + 1), F.lit(": Delivery Terms for lot "),
+        s(d), F.lit(".\n"),
+        F.lit("The supplier shall deliver all goods under 42 U.S.C. § "),
+        s(1900 + d % 100), F.lit(". "),
+        F.when(d % 3 == 0, F.lit("The buyer shall not disclose pricing terms. "))
+         .when(d % 3 == 1, F.lit("The buyer may inspect all goods. "))
+         .otherwise(F.lit("The parties shall meet quarterly. ")),
+        F.lit("See "), s(d % 500 + 1), F.lit(" F.3d "), s(d % 900 + 10),
+        F.lit(" and "), s(d % 50 + 1), F.lit(" CFR 1910."), s(d % 10),
+        F.lit(". "),
+        F.lit('"Agreement" means the contract effective 2026-0'),
+        s(d % 9 + 1), F.lit("-15 with payment of $"), s(d % 90 + 10),
+        F.lit(",500.00 due."),
+    )
+
+
+# the same synthesis as ANSI SQL (chr(10) = the '\n' literal; DuckDB does
+# not interpret backslash escapes in standard strings)
+_LEGAL_TEXT_SQL = """
+    'Section ' || CAST(doc_id % 40 + 1 AS VARCHAR)
+    || ': Delivery Terms for lot ' || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+    || 'The supplier shall deliver all goods under 42 U.S.C. § '
+    || CAST(1900 + doc_id % 100 AS VARCHAR) || '. '
+    || CASE WHEN doc_id % 3 = 0 THEN 'The buyer shall not disclose pricing terms. '
+            WHEN doc_id % 3 = 1 THEN 'The buyer may inspect all goods. '
+            ELSE 'The parties shall meet quarterly. ' END
+    || 'See ' || CAST(doc_id % 500 + 1 AS VARCHAR)
+    || ' F.3d ' || CAST(doc_id % 900 + 10 AS VARCHAR)
+    || ' and ' || CAST(doc_id % 50 + 1 AS VARCHAR)
+    || ' CFR 1910.' || CAST(doc_id % 10 AS VARCHAR) || '. '
+    || '"Agreement" means the contract effective 2026-0'
+    || CAST(doc_id % 9 + 1 AS VARCHAR)
+    || '-15 with payment of $' || CAST(doc_id % 90 + 10 AS VARCHAR)
+    || ',500.00 due.'
+"""
+
+
+def _legal_docs(spark, sf_dir, limit: int):
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < limit)
+            .select("doc_id", _synth_legal_text().alias("text")))
+
+
+def q_legal_citations(spark, sf_dir):
+    """E8: statute / case / CFR citation extraction (ref :112-131)."""
+    from ..operators import legal_ner
+    return (legal_ner.extract_citations(_legal_docs(spark, sf_dir, 60))
+            .orderBy("doc_id", "ctype", "cite"))
+
+
+def q_legal_obligations(spark, sf_dir):
+    """E8/E9: sentence-level shall / shall not / may classification
+    (ref :134-136, :204-210)."""
+    from ..operators import legal_ner
+    return (legal_ner.obligation_counts(_legal_docs(spark, sf_dir, 120))
+            .orderBy("doc_id"))
+
+
+def q_legal_definitions(spark, sf_dir):
+    """E9: '"X" means ...' definition extraction (ref :212-219)."""
+    from ..operators import legal_ner
+    return (legal_ner.extract_definitions(_legal_docs(spark, sf_dir, 60))
+            .orderBy("doc_id"))
+
+
+def q_legal_sections(spark, sf_dir):
+    """E9: section-header extraction (ref :221-228)."""
+    from ..operators import legal_ner
+    return (legal_ner.extract_sections(_legal_docs(spark, sf_dir, 60))
+            .orderBy("doc_id"))
+
+
+def q_legal_dates_amounts(spark, sf_dir):
+    """E9: DATE/MONEY extraction (deterministic stand-ins for the
+    reference's spaCy NER classes, ref :194-202)."""
+    from ..operators import legal_ner
+    return (legal_ner.extract_dates_amounts(_legal_docs(spark, sf_dir, 60))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # Embedding / similarity surface
 # ---------------------------------------------------------------------------
 
@@ -624,6 +723,79 @@ ORACLE_SQL: Dict[str, str] = {
                MIN(delay_days) AS min_delay, MAX(delay_days) AS max_delay
         FROM d GROUP BY delay_week ORDER BY delay_week
     """,
+    # legal NER (E8/E9): identical deterministic text synthesis on both
+    # sides; the regex extraction is the verified behavior. Pattern strings
+    # are the RE2 ∩ Java-regex subset of operators/legal_ner.py.
+    "legal_citations": """
+        WITH lt AS (SELECT doc_id, {legal_text} AS text
+                    FROM documents WHERE doc_id < 60),
+        c AS (
+            SELECT doc_id, 'STATUTE' AS ctype,
+                   unnest(regexp_extract_all(text,
+                       '(?i)\\d+\\s+u\\.?s\\.?c\\.?\\s+(?:§|section)\\s+\\d+')) AS cite
+            FROM lt
+            UNION ALL
+            SELECT doc_id, 'CASE_CITATION',
+                   unnest(regexp_extract_all(text, '\\d+\\s+F\\.\\d?d?\\s+\\d+'))
+            FROM lt
+            UNION ALL
+            SELECT doc_id, 'REGULATION',
+                   unnest(regexp_extract_all(text, '\\d+\\s+CFR\\s+\\d+(?:\\.\\d+)?'))
+            FROM lt
+        )
+        SELECT doc_id, ctype, cite FROM c ORDER BY doc_id, ctype, cite
+    """,
+    "legal_obligations": """
+        WITH lt AS (SELECT doc_id, {legal_text} AS text
+                    FROM documents WHERE doc_id < 120),
+        s AS (SELECT doc_id,
+                     regexp_split_to_array(lower(text), '\\.\\s+') AS sents
+              FROM lt)
+        SELECT doc_id,
+               len(list_filter(sents, x -> x LIKE '%shall%'))
+                 - len(list_filter(sents, x -> x LIKE '%shall not%'))
+                 AS n_obligation,
+               len(list_filter(sents, x -> x LIKE '%shall not%'))
+                 AS n_prohibition,
+               len(list_filter(sents, x -> x LIKE '%may%')) AS n_permission
+        FROM s ORDER BY doc_id
+    """,
+    "legal_definitions": """
+        WITH lt AS (SELECT doc_id, {legal_text} AS text
+                    FROM documents WHERE doc_id < 60),
+        d AS (SELECT doc_id,
+                     regexp_extract(text,
+                         '(?i)"([^"]+)"\\s+(?:means?|refers? to|is defined as)\\s+([^.]+\\.)',
+                         1) AS term,
+                     regexp_extract(text,
+                         '(?i)"([^"]+)"\\s+(?:means?|refers? to|is defined as)\\s+([^.]+\\.)',
+                         2) AS definition
+              FROM lt)
+        SELECT doc_id, term, definition FROM d
+        WHERE term <> '' ORDER BY doc_id
+    """,
+    "legal_sections": """
+        WITH lt AS (SELECT doc_id, {legal_text} AS text
+                    FROM documents WHERE doc_id < 60),
+        d AS (SELECT doc_id,
+                     regexp_extract(text,
+                         '(?:Section|Article|§)\\s+(\\d+(?:\\.\\d+)*)[:.]?\\s*([^\\n]+)',
+                         1) AS sec_number,
+                     regexp_extract(text,
+                         '(?:Section|Article|§)\\s+(\\d+(?:\\.\\d+)*)[:.]?\\s*([^\\n]+)',
+                         2) AS sec_title
+              FROM lt)
+        SELECT doc_id, sec_number, sec_title FROM d
+        WHERE sec_number <> '' ORDER BY doc_id
+    """,
+    "legal_dates_amounts": """
+        WITH lt AS (SELECT doc_id, {legal_text} AS text
+                    FROM documents WHERE doc_id < 60)
+        SELECT doc_id,
+               regexp_extract(text, '\\d{{4}}-\\d{{2}}-\\d{{2}}', 0) AS eff_date,
+               regexp_extract(text, '\\$\\d+(?:,\\d{{3}})*(?:\\.\\d{{2}})?', 0) AS amount
+        FROM lt ORDER BY doc_id
+    """,
     "cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -667,6 +839,13 @@ ORACLE_SQL: Dict[str, str] = {
 }
 
 
+# splice the shared legal-text synthesis into the legal oracles ({{ }} in
+# those templates escape literal regex braces for .format)
+for _name in ("legal_citations", "legal_obligations", "legal_definitions",
+              "legal_sections", "legal_dates_amounts"):
+    ORACLE_SQL[_name] = ORACLE_SQL[_name].format(legal_text=_LEGAL_TEXT_SQL)
+
+
 SQL_QUERIES: Dict[str, Callable] = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -691,6 +870,11 @@ SQL_QUERIES: Dict[str, Callable] = {
     "orders_monthly_revenue": q_orders_monthly_revenue,
     "ship_delay_stats": q_ship_delay_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "legal_citations": q_legal_citations,
+    "legal_obligations": q_legal_obligations,
+    "legal_definitions": q_legal_definitions,
+    "legal_sections": q_legal_sections,
+    "legal_dates_amounts": q_legal_dates_amounts,
     "cosine_topk": q_cosine_topk,
     "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
     "knn_join": q_knn_join,

@@ -191,6 +191,21 @@ def kg_schema_labels(spark, sf_dir):
     return labels.unionByName(rels).orderBy("kind", "name")
 
 
+def kg_schema_detect(spark, sf_dir):
+    """E1+E3: open-domain schema detection + refinement over the fixture
+    corpus (ref open_domain_detection code/pdf_graphrag.py:577-616 +
+    schema_refinement :648-687) — per-chunk coarse-pass (1200/200) label
+    proposals consolidated by collect_set + the deterministic PascalCase/
+    UPPER_SNAKE canonicalizer. Rows-only (extraction is not ANSI-SQL);
+    equality with the plain-Python oracle is asserted in
+    tests/test_schema_detect.py."""
+    from ..operators import html_text, schema_detect
+    from ..sources.pages import synthesize_pages
+    pages = html_text.filter_langs(
+        synthesize_pages(spark, _CORPUS_PAGES, seed=42), ("en",))
+    return schema_detect.schema_as_df(pages).orderBy("kind", "name")
+
+
 def kg_validation_report(spark, sf_dir):
     """V1-V6 analogue: quality-gate metrics over the built graph
     (ref ValidationLayer, code/legal-llm/legal_graphrag.py:243-315 and
@@ -228,6 +243,7 @@ def kg_validation_report(spark, sf_dir):
 
 KG_QUERIES = {
     "kg_schema_labels": kg_schema_labels,
+    "kg_schema_detect": kg_schema_detect,
     "kg_validation_report": kg_validation_report,
     "kg_node_counts": kg_node_counts,
     "kg_edge_counts": kg_edge_counts,

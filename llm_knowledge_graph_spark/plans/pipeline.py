@@ -40,6 +40,19 @@ def build_kg(spark: SparkSession, pages: DataFrame,
              alias_dict: Optional[DataFrame] = None) -> KGResult:
     pages = html_text.filter_langs(pages, cfg.supported_langs)
 
+    # E1+E3 two-pass flow (ref code/pdf_graphrag.py:800-833): coarse-chunk
+    # schema detection + refinement first, then the detected schema is
+    # enforced strict-mode by the fine-chunk extraction below. Explicit
+    # allowed lists win over detection (the reference's fixed-schema path).
+    if (cfg.auto_schema and cfg.allowed_entities is None
+            and cfg.allowed_relationships is None):
+        from ..operators import schema_detect
+        detected = schema_detect.detect_schema(
+            pages, cfg.schema_chunk_size, cfg.schema_chunk_overlap)
+        from dataclasses import replace
+        cfg = replace(cfg, allowed_entities=detected["nodes"],
+                      allowed_relationships=detected["relationships"])
+
     # FUSED per-document path: html→text + chunk + extract + graphdoc in one
     # mapInPandas stage (one Python crossing for the whole corpus — see
     # extract.extract_pages_flat). The standalone chunker/extract operators

@@ -332,6 +332,75 @@ def extract_chunk(text: str) -> Dict[str, List[Dict[str, Any]]]:
 
 
 # ---------------------------------------------------------------------------
+# E1+E3: open-domain schema detection + refinement (deterministic stand-ins
+# for the reference's two LLM passes: open_domain_detection
+# ref code/pdf_graphrag.py:577-616 with response schema
+# code/prompts.py:200-223, and schema_refinement ref :648-687).
+# The LLM proposer is replaced by the deterministic extractor's label
+# vocabulary (the types extract_chunk would emit for the chunk); the LLM
+# consolidator is replaced by the deterministic canonicalizer the prompt
+# rules demand (PROMPTS.md: singular PascalCase node labels, UPPER_SNAKE
+# relationship labels) — i.e. format_node_type / format_relationship_type
+# + case-insensitive dedupe + sort.
+# ---------------------------------------------------------------------------
+
+
+def propose_chunk_schema(text: str) -> Dict[str, List[str]]:
+    """E1 stand-in: per-chunk label/relationship vocabulary proposal in the
+    reference's response shape {list_nodes, list_relationships}
+    (code/prompts.py:200-223). Raw (pre-canonicalization) labels, first-seen
+    order, case-insensitively deduped within the chunk. Callers chunk at
+    SCHEMA_CHUNK_SIZE/SCHEMA_CHUNK_OVERLAP (1200/200, ref :811)."""
+    raw = extract_chunk(text)
+    nodes: List[str] = []
+    seen_n: set = set()
+    for n in raw["nodes"]:
+        t = n["type"]
+        if t.lower() not in seen_n:
+            seen_n.add(t.lower())
+            nodes.append(t)
+    rels: List[str] = []
+    seen_r: set = set()
+    for r in raw["relationships"]:
+        t = r["relation"]
+        if t.lower() not in seen_r:
+            seen_r.add(t.lower())
+            rels.append(t)
+    return {"list_nodes": nodes, "list_relationships": rels}
+
+
+def refine_schema(proposals: List[Dict[str, List[str]]]) -> Dict[str, List[str]]:
+    """E3 stand-in: consolidate per-chunk vocabularies into ONE schema
+    (ref schema_refinement code/pdf_graphrag.py:648-687). Labels →
+    PascalCase via format_node_type, relationship types → UPPER_SNAKE via
+    format_relationship_type (the PROMPTS.md rules), set-deduped, sorted —
+    deterministic regardless of proposal order."""
+    nodes = sorted({format_node_type(t)
+                    for p in proposals for t in p["list_nodes"]})
+    rels = sorted({format_relationship_type(t)
+                   for p in proposals for t in p["list_relationships"]})
+    return {"nodes": nodes, "relationships": rels}
+
+
+def reference_detect_schema(pages: List[Dict[str, Any]]) -> Dict[str, List[str]]:
+    """End-to-end E1+E3 over a pages corpus at the schema-pass chunk params
+    (1200/200 — the coarse first pass of the reference's two-pass chunking,
+    ref :811 vs :825). This is the plain-Python oracle the Spark stage
+    (operators/schema_detect.py) is tested against."""
+    proposals: List[Dict[str, List[str]]] = []
+    for row in pages:
+        if row.get("lang") not in SUPPORTED_LANGS:
+            continue
+        text = row.get("text")
+        if text is None:
+            text = html_to_text(row.get("html"))
+        for _cid, ctext, _cs, _ce in chunk_text(
+                text, SCHEMA_CHUNK_SIZE, SCHEMA_CHUNK_OVERLAP):
+            proposals.append(propose_chunk_schema(ctext))
+    return refine_schema(proposals)
+
+
+# ---------------------------------------------------------------------------
 # N1-N8: build_graph_document — the exact convert_to_graph_document pipeline
 # (ref: code/pdf_graphrag.py:393-500) as a pure function.
 # ---------------------------------------------------------------------------
