@@ -44,3 +44,7 @@ class PipelineConfig:
     # checkpoint/resume
     checkpoint_dir: Optional[str] = None
     run_id: str = "run0"
+    # V4 confidence gate before sink commit (ref legal_graphrag.py:342,
+    # :619-626): None = ungated (always commit); set to e.g. 0.99 to skip
+    # the graph write when mean(V1..V3) falls below it
+    confidence_threshold: Optional[float] = None

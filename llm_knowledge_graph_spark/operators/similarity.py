@@ -52,20 +52,53 @@ def make_hyperplane_bucket_udf(dim: int, n_planes: int = 8, seed: int = 13):
     return bucket_udf
 
 
+def make_multitable_bucket_udf(dim: int, n_planes: int = 6, seed: int = 13,
+                               n_tables: int = 4):
+    """One pandas UDF emitting ALL tables' bucket ids as array<int> — one
+    Arrow crossing regardless of table count. Table t uses seed+t planes
+    (the same scheme as lsh_cosine_near_dup_pairs)."""
+    planes = [np.random.RandomState(seed + t).randn(n_planes, dim)
+              for t in range(n_tables)]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets_udf(vec: pd.Series) -> pd.Series:
+        def b(v) -> list:
+            x = np.asarray(v, dtype=np.float64)
+            return [int((( (p @ x) > 0 ) * weights).sum()) for p in planes]
+        return vec.map(b)
+    return buckets_udf
+
+
+def query_buckets(query_vec, n_planes: int = 6, seed: int = 13,
+                  n_tables: int = 4) -> list:
+    q = np.asarray(query_vec, dtype=np.float64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    return [int(((np.random.RandomState(seed + t).randn(n_planes, len(q))
+                  @ q > 0) * weights).sum()) for t in range(n_tables)]
+
+
 def lsh_ann_topk(embeddings: DataFrame, query_vec, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_planes: int = 6, seed: int = 13) -> DataFrame:
-    """ANN top-k: probe only the query's hyperplane bucket."""
+                 n_planes: int = 6, seed: int = 13,
+                 n_tables: int = 4) -> DataFrame:
+    """ANN top-k via MULTI-TABLE hyperplane LSH: a row is a candidate when
+    it shares the query's bucket in ANY of the `n_tables` independent
+    tables — at 6 planes a single table misses true neighbors that land
+    one bucket over, and each extra table multiplies that miss probability
+    (recall-vs-scan knob: candidates ≈ n_tables/2^n_planes of the corpus).
+    Exact cosine then ranks candidates. At scale the per-table bucket ids
+    are precomputed partition columns; here one array<int> UDF pass."""
     dim = len(query_vec)
-    bucket_udf = make_hyperplane_bucket_udf(dim, n_planes, seed)
-    rng_planes = np.random.RandomState(seed).randn(n_planes, dim)
-    qb = 0
-    for i, s in enumerate((rng_planes @ np.asarray(query_vec)) > 0):
-        if s:
-            qb |= 1 << i
-    bucketed = embeddings.withColumn("bucket", bucket_udf(F.col(vec_col)))
+    buckets_udf = make_multitable_bucket_udf(dim, n_planes, seed, n_tables)
+    qbs = query_buckets(query_vec, n_planes, seed, n_tables)
+    bucketed = embeddings.withColumn("_tb", buckets_udf(F.col(vec_col)))
+    cond = None
+    for t, qb in enumerate(qbs):
+        c = F.element_at(F.col("_tb"), t + 1) == qb
+        cond = c if cond is None else (cond | c)
     return brute_force_topk(
-        bucketed.filter(F.col("bucket") == qb), query_vec, k, id_col, vec_col)
+        bucketed.filter(cond), query_vec, k, id_col, vec_col)
 
 
 def lsh_cosine_near_dup_pairs(embeddings: DataFrame,
@@ -128,20 +161,56 @@ def ivf_assign(embeddings: DataFrame, centroids: list,
     return embeddings.withColumn("cell", cell)
 
 
+def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        sample_size: int = 2048,
+                        n_iterations: int = 15) -> list:
+    """Deterministic spherical k-means on a bounded id-ordered sample.
+
+    Replaces the round-1 first-N-by-id 'training' (arbitrary cell sizes →
+    recall/pruning degrade on clustered data): init = evenly-spaced sample
+    points (spread across the id range), then Lloyd iterations with cosine
+    assignment and re-normalized mean centroids. Pure numpy on ≤sample_size
+    rows — deterministic (no RNG), executor-free. At scale the sample is a
+    hash-sampled collect and the final assignment is persisted as a `cell`
+    partition column."""
+    rows = (embeddings.orderBy(id_col).select(vec_col)
+            .limit(sample_size).collect())
+    if not rows:
+        return []
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    xn = x / norms
+    k = min(n_centroids, len(xn))
+    # evenly-spaced deterministic init across the sample
+    cents = xn[np.linspace(0, len(xn) - 1, k).astype(int)].copy()
+    for _ in range(n_iterations):
+        assign = np.argmax(xn @ cents.T, axis=1)
+        newc = cents.copy()
+        for c in range(k):
+            members = xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    newc[c] = m / n
+        if np.allclose(newc, cents, atol=1e-9):
+            break
+        cents = newc
+    return [c.tolist() for c in cents]
+
+
 def ivf_ann_topk(embeddings: DataFrame, query_vec, k: int = 5,
                  n_centroids: int = 16, n_probe: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into `n_centroids`
-    inverted lists, probe only the `n_probe` cells nearest the query.
-
-    Deterministic 'training': centroids are the first `n_centroids` corpus
-    vectors by id (seed-free, reproducible). At scale the assignment is
-    computed once and persisted as a `cell` partition column — queries then
-    prune to n_probe/n_centroids of the data; here it is computed inline.
-    """
-    import numpy as np
-    cents = [r[0] for r in (embeddings.orderBy(id_col)
-                            .select(vec_col).limit(n_centroids).collect())]
+    inverted lists (seeded spherical k-means centroids —
+    train_ivf_centroids), probe only the `n_probe` cells nearest the
+    query. At scale the assignment is computed once and persisted as a
+    `cell` partition column — queries then prune to n_probe/n_centroids of
+    the data; here it is computed inline."""
+    cents = train_ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     if not cents:
         # empty corpus → empty top-k with the brute-force output schema
         # (ivf_assign would hit scores[0] on an empty centroid list)

@@ -314,6 +314,18 @@ def q_doc_winnow_fingerprint(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_doc_classification(spark, sf_dir):
+    """E11 text classification (ref stub code/pdf_graphrag.py:570-571,
+    prompt/schema code/prompts.py:140-166): ordered keyword-rule chain
+    compiled to one CASE expression + occurrence-count confidence —
+    fully codegen, oracled value-exact."""
+    from ..operators.classify import keyword_classify
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (keyword_classify(d)
+            .select("doc_id", "lang", "doc_type", "confidence")
+            .orderBy("doc_id"))
+
+
 def q_orders_monthly_revenue(spark, sf_dir):
     """Date-function surface (year/month bucketing — SURVEY §2.8 date/math):
     monthly revenue in exact integer cents."""
@@ -705,6 +717,28 @@ ORACLE_SQL: Dict[str, str] = {
                COUNT(DISTINCT fp) AS n_distinct_fp
         FROM fp GROUP BY lang ORDER BY lang
     """,
+    "doc_classification": """
+        SELECT doc_id, lang,
+               CASE WHEN text LIKE '%stream%' THEN 'Streaming'
+                    WHEN text LIKE '%vector%' THEN 'VectorSearch'
+                    WHEN text LIKE '%window%' THEN 'Windowed'
+                    WHEN text LIKE '%join%' THEN 'Relational'
+                    ELSE 'General' END AS doc_type,
+               CASE WHEN text LIKE '%stream%' THEN CAST(least(
+                        (length(text) - length(replace(text, 'stream', ''))) / 6,
+                        100) AS INT)
+                    WHEN text LIKE '%vector%' THEN CAST(least(
+                        (length(text) - length(replace(text, 'vector', ''))) / 6,
+                        100) AS INT)
+                    WHEN text LIKE '%window%' THEN CAST(least(
+                        (length(text) - length(replace(text, 'window', ''))) / 6,
+                        100) AS INT)
+                    WHEN text LIKE '%join%' THEN CAST(least(
+                        (length(text) - length(replace(text, 'join', ''))) / 4,
+                        100) AS INT)
+                    ELSE 0 END AS confidence
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
     "orders_monthly_revenue": """
         SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -875,6 +909,7 @@ SQL_QUERIES: Dict[str, Callable] = {
     "legal_definitions": q_legal_definitions,
     "legal_sections": q_legal_sections,
     "legal_dates_amounts": q_legal_dates_amounts,
+    "doc_classification": q_doc_classification,
     "cosine_topk": q_cosine_topk,
     "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
     "knn_join": q_knn_join,

@@ -209,42 +209,33 @@ def kg_schema_detect(spark, sf_dir):
 def kg_validation_report(spark, sf_dir):
     """V1-V6 analogue: quality-gate metrics over the built graph
     (ref ValidationLayer, code/legal-llm/legal_graphrag.py:243-315 and
-    _generate_quality_report :642-679)."""
+    _generate_quality_report :642-679) — the same operator the V4 gate in
+    build_and_write consumes (operators/validate.py)."""
+    from ..operators import validate
     res = _kg(spark)
-    nodes, edges = res.canonical_nodes, res.canonical_edges
-    # V1: citation format — Section ids must match '§ N(.N)*'
-    v1 = nodes.filter(F.col("type") == "Section").agg(
-        F.avg(F.when(F.col("id").rlike(r"^§ \d+(\.\d+)*$"), 1.0)
-              .otherwise(0.0)).alias("value")).withColumn(
-        "metric", F.lit("citation_format_validity"))
-    # V2: definitions — Term nodes need definitionText longer than 10 chars
-    v2 = nodes.filter(F.col("type") == "Term").agg(
-        F.avg(F.when(F.length(F.element_at("properties", "definitionText"))
-                     > 10, 1.0).otherwise(0.0)).alias("value")).withColumn(
-        "metric", F.lit("definition_validity"))
-    # V3: completeness — non-empty entity classes / expected classes
-    expected = ["Person", "Organization", "Place", "Term", "Section"]
-    present = (nodes.filter(F.col("type").isin(expected))
-               .select("type").distinct().count())
-    v3 = spark.createDataFrame(
-        [(float(present) / len(expected), "completeness")],
-        "value double, metric string")
-    # V6: totals
-    totals = spark.createDataFrame(
-        [(float(nodes.count()), "node_total"),
-         (float(edges.count()), "edge_total")],
-        "value double, metric string")
-    return (v1.select("metric", "value")
-            .unionByName(v2.select("metric", "value"))
-            .unionByName(v3.select("metric", "value"))
-            .unionByName(totals.select("metric", "value"))
-            .orderBy("metric"))
+    return validate.validation_report(spark, res.canonical_nodes,
+                                      res.canonical_edges)
+
+
+def kg_chunk_cosine_topk(spark, sf_dir):
+    """Q4 analogue served from the TYPED chunk-embeddings table
+    (ref query_chunks_by_similarity code/pdf_graphrag.py:1082-1104; K4
+    vector index :245-269): embed a probe string with the same encoder,
+    scan the typed array<float> column with a pure JVM cosine expression,
+    rank-only top-10. Rows-only (chunking/embedding is not ANSI-SQL);
+    roundtrip + parity proven in tests/test_embeddings_table.py."""
+    from ..operators import embed
+    from ..reference_impl import embed_text
+    res = _kg(spark)
+    qvec = embed_text("John Doe works for Acme Corp.")
+    return embed.chunk_cosine_topk(res.chunk_embeddings, qvec, k=10)
 
 
 KG_QUERIES = {
     "kg_schema_labels": kg_schema_labels,
     "kg_schema_detect": kg_schema_detect,
     "kg_validation_report": kg_validation_report,
+    "kg_chunk_cosine_topk": kg_chunk_cosine_topk,
     "kg_node_counts": kg_node_counts,
     "kg_edge_counts": kg_edge_counts,
     "kg_degree_top25": kg_degree_top25,

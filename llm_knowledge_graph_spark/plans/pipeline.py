@@ -33,6 +33,12 @@ class KGResult:
     mapping: DataFrame        # (type, id, canonical_id)
     canonical_nodes: DataFrame
     canonical_edges: DataFrame
+    # typed K4 vector table (url, chunk_id, embedding array<float>) — lazy;
+    # the serving path for cosine queries (operators/embed.py)
+    chunk_embeddings: Optional[DataFrame] = None
+    # V4 gate outcome set by build_and_write: True = graph committed,
+    # False = below confidence threshold (metrics only), None = ungated
+    committed: Optional[bool] = None
 
 
 def build_kg(spark: SparkSession, pages: DataFrame,
@@ -125,8 +131,10 @@ def build_kg(spark: SparkSession, pages: DataFrame,
         entity_nodes.select("id", "type"), sim, cfg.max_cc_iterations)
 
     canonical_nodes, canonical_edges = rewrite_canonical(nodes, edges, mapping)
+    from ..operators import embed
     return KGResult(chunks, nodes, edges, sim, mapping,
-                    canonical_nodes, canonical_edges)
+                    canonical_nodes, canonical_edges,
+                    chunk_embeddings=embed.chunk_embeddings(chunks))
 
 
 def strict_filter(nodes_raw: DataFrame, edges_raw: DataFrame,
@@ -239,7 +247,27 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
 def build_and_write(spark: SparkSession, pages: DataFrame, out_dir: str,
                     cfg: PipelineConfig = PipelineConfig(),
                     alias_dict: Optional[DataFrame] = None) -> KGResult:
+    """Build + V4-gated materialize (gate ref legal_graphrag.py:619-626):
+    when cfg.confidence_threshold is set, the graph commits ONLY if
+    mean(V1..V3) ≥ threshold; below it, only the metrics table is written
+    ("recommend human review") and `res.committed` is False. Ungated runs
+    (threshold None) always commit, with the embeddings table alongside."""
+    from ..operators import embed, validate
     res = build_kg(spark, pages, cfg, alias_dict)
+
+    if cfg.confidence_threshold is not None:
+        scores = validate.validation_scores(res.canonical_nodes)
+        if scores["confidence"] < cfg.confidence_threshold:
+            (materialize.graph_metrics(res.canonical_nodes,
+                                       res.canonical_edges)
+             .coalesce(1).write.mode("overwrite")
+             .format("parquet").save(f"{out_dir}/metrics"))
+            res.committed = False
+            return res
+        res.committed = True
+
     materialize.write_graph(res.canonical_nodes, res.canonical_edges, out_dir,
                             cfg.n_subject_buckets, cfg.hot_subject_salt)
+    embed.write_embeddings(res.chunk_embeddings, out_dir,
+                           cfg.n_subject_buckets)
     return res

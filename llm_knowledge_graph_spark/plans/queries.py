@@ -108,3 +108,33 @@ def classify_query(question: str) -> str:
         if any(k in q for k in kws):
             return qtype
     return "general"
+
+
+DISCLAIMER = ("\n⚠️ **Disclaimer**: This information is extracted from legal "
+              "documents. Always consult with a qualified legal professional "
+              "for legal advice.")
+
+
+def format_response(query: str, results: list, query_type: str = "general") -> str:
+    """Q13 analogue: typed textual rendering with citations + disclaimer
+    (ref _format_response legal_graphrag.py:755-783). `results` are
+    collected Row dicts; driver-side string templating (bounded output —
+    callers limit the result set, like the reference's LIMIT discipline)."""
+    if not results:
+        return "No results found in the knowledge graph for your query."
+    out = "Based on the legal documents in the knowledge graph:\n\n"
+    for i, result in enumerate(results, 1):
+        r = dict(result.asDict()) if hasattr(result, "asDict") else dict(result)
+        if query_type == "definition" and "term" in r:
+            out += f"{i}. **{r['term']}**: {r.get('definition', '')}"
+            if "page" in r:
+                out += f" (Page {r['page']})"
+            out += "\n\n"
+        elif query_type == "citation" and "citation" in r:
+            out += f"{i}. {r['citation']} ({r.get('type', 'N/A')})"
+            if "page" in r:
+                out += f" - Page {r['page']}"
+            out += "\n\n"
+        else:
+            out += f"{i}. {r}\n\n"
+    return out + DISCLAIMER
