@@ -61,3 +61,24 @@ def validation_report(spark: SparkSession, nodes: DataFrame,
     rows.append(("node_total", float(nodes.count())))
     return spark.createDataFrame(rows, "metric string, value double") \
         .orderBy("metric")
+
+
+def reconcile_entities(structured: DataFrame, semantic: DataFrame,
+                       key_cols=("type", "id")) -> DataFrame:
+    """V5 entity reconciliation (ref _reconcile_entities
+    legal_graphrag.py:317-331 + SURVEY §2.5: structured extraction wins
+    over semantic on key collisions): unionByName with a `source` tag and
+    priority dedup via one window row_number per key — structured rows
+    rank first, ties broken deterministically on source name. Unlike the
+    reference (which today drops the semantic list wholesale), semantic
+    rows SURVIVE when no structured row claims their key — the documented
+    intent ('sophisticated deduplication' placeholder) without losing
+    recall."""
+    from pyspark.sql import Window
+    s = structured.withColumn("source", F.lit("structured"))
+    m = semantic.withColumn("source", F.lit("semantic"))
+    both = s.unionByName(m)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.when(F.col("source") == "structured", 0).otherwise(1), "source")
+    return (both.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

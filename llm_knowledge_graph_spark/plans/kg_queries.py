@@ -191,6 +191,22 @@ def kg_schema_labels(spark, sf_dir):
     return labels.unionByName(rels).orderBy("kind", "name")
 
 
+def kg_question_svo(spark, sf_dir):
+    """Q11: SVO from a question string → graph lookup of matching edges —
+    the wired surface for the reference's find_svo → query flow
+    (ref code/pdf_graphrag.py:1415-1426). Rows-only."""
+    res = _kg(spark)
+    svo = Q.question_svo(spark, "since when John Doe works for Acme Corp?")
+    hit = svo.first()
+    if hit is None:
+        return svo
+    # resolve through linking, then scan edges for the verb's UPPER_SNAKE
+    pred = hit["verb"].strip().replace(" ", "_").upper()
+    return (res.canonical_edges.filter(F.col("pred") == pred)
+            .select("subj", "pred", "obj")
+            .orderBy("subj", "obj").limit(25))
+
+
 def kg_schema_detect(spark, sf_dir):
     """E1+E3: open-domain schema detection + refinement over the fixture
     corpus (ref open_domain_detection code/pdf_graphrag.py:577-616 +
@@ -234,6 +250,7 @@ def kg_chunk_cosine_topk(spark, sf_dir):
 KG_QUERIES = {
     "kg_schema_labels": kg_schema_labels,
     "kg_schema_detect": kg_schema_detect,
+    "kg_question_svo": kg_question_svo,
     "kg_validation_report": kg_validation_report,
     "kg_chunk_cosine_topk": kg_chunk_cosine_topk,
     "kg_node_counts": kg_node_counts,

@@ -110,6 +110,21 @@ def classify_query(question: str) -> str:
     return "general"
 
 
+def question_svo(spark, question: str) -> DataFrame:
+    """Q11 analogue: SVO extraction from a question string (ref find_svo
+    code/pdf_graphrag.py:1330-1384, an LLM call returning
+    {subject, verb, object}; deterministic variant = the E7 verb-lexicon
+    matcher applied to the question). One row per matched triple —
+    empty DataFrame when the question contains no lexicon verb, like the
+    reference's null SVO path."""
+    from ..reference_impl import extract_chunk
+    raw = extract_chunk(question)
+    rows = [(r["source_node_id"], r["relation"], r["target_node_id"])
+            for r in raw["relationships"]]
+    return spark.createDataFrame(rows,
+                                 "subject string, verb string, object string")
+
+
 DISCLAIMER = ("\n⚠️ **Disclaimer**: This information is extracted from legal "
               "documents. Always consult with a qualified legal professional "
               "for legal advice.")

@@ -96,3 +96,35 @@ def test_streaming_lang_counts_matches_batch(spark):
              for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
              .groupBy("lang").agg(F.count("*").alias("n_docs")).collect()}
     assert got == batch
+
+
+def test_question_svo(spark):
+    """Q11: deterministic SVO from a question string (ref find_svo
+    code/pdf_graphrag.py:1330-1384)."""
+    from llm_knowledge_graph_spark.plans.queries import question_svo
+    # lowercase interrogative words — a leading capitalized word ("Did")
+    # would glue onto the name, exactly as the E7 matcher treats any
+    # capitalized token run
+    rows = question_svo(spark, "since when John Doe works for Acme Corp?").collect()
+    assert len(rows) == 1
+    assert (rows[0]["subject"], rows[0]["verb"], rows[0]["object"]) == \
+        ("John Doe", "works for", "Acme Corp")
+    assert question_svo(spark, "what is the weather like").count() == 0
+
+
+def test_reconcile_entities_priority(spark):
+    """V5: structured wins on key collision; unmatched semantic rows
+    survive (ref _reconcile_entities legal_graphrag.py:317-331)."""
+    from llm_knowledge_graph_spark.operators.validate import reconcile_entities
+    structured = spark.createDataFrame(
+        [("Term", "Agreement", "the deal per §2")],
+        "type string, id string, detail string")
+    semantic = spark.createDataFrame(
+        [("Term", "Agreement", "an llm paraphrase"),
+         ("Person", "John Doe", "from llm only")],
+        "type string, id string, detail string")
+    out = {(r["type"], r["id"]): (r["source"], r["detail"])
+           for r in reconcile_entities(structured, semantic).collect()}
+    assert out[("Term", "Agreement")] == ("structured", "the deal per §2")
+    assert out[("Person", "John Doe")] == ("semantic", "from llm only")
+    assert len(out) == 2
