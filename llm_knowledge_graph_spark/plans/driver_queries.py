@@ -314,6 +314,28 @@ def q_doc_winnow_fingerprint(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_events_hourly_stream_counts(spark, sf_dir):
+    """Structured Streaming, VALUE-VERIFIED: watermarked 1-hour windowed
+    counts over the events file stream, drained with availableNow — the
+    drained complete-mode result must equal the batch date_trunc rollup,
+    which IS ANSI-expressible, so this streaming path gets a DuckDB
+    oracle (unlike rows-only kg_streaming_lang_counts)."""
+    from ..streaming.windowed import windowed_event_counts
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory")
+         .queryName("events_hourly_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("events_hourly_stream did not drain within 120s")
+    return (spark.table("events_hourly_stream")
+            .select("window_start", "event_type", "n", "value_cents")
+            .orderBy("window_start", "event_type"))
+
+
 def q_doc_classification(spark, sf_dir):
     """E11 text classification (ref stub code/pdf_graphrag.py:570-571,
     prompt/schema code/prompts.py:140-166): ordered keyword-rule chain
@@ -717,6 +739,13 @@ ORACLE_SQL: Dict[str, str] = {
                COUNT(DISTINCT fp) AS n_distinct_fp
         FROM fp GROUP BY lang ORDER BY lang
     """,
+    "events_hourly_stream_counts": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "doc_classification": """
         SELECT doc_id, lang,
                CASE WHEN text LIKE '%stream%' THEN 'Streaming'
@@ -910,6 +939,7 @@ SQL_QUERIES: Dict[str, Callable] = {
     "legal_sections": q_legal_sections,
     "legal_dates_amounts": q_legal_dates_amounts,
     "doc_classification": q_doc_classification,
+    "events_hourly_stream_counts": q_events_hourly_stream_counts,
     "cosine_topk": q_cosine_topk,
     "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
     "knn_join": q_knn_join,

@@ -168,6 +168,33 @@ def kg_streaming_lang_counts(spark, sf_dir):
     return spark.table("kg_stream_lang_counts").orderBy("lang")
 
 
+def kg_streaming_first_seen(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    incremental exact dedup over the documents file stream — emits only
+    the first occurrence of each text digest, state carried across
+    micro-batches (cross-batch suppression proven in
+    tests/test_streaming_windowed.py). Rows-only; returns per-prefix-key
+    first-seen counts (deterministic)."""
+    import tempfile
+
+    from ..streaming.windowed import streaming_first_seen
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    out = streaming_first_seen(stream)
+    ckpt = tempfile.mkdtemp(prefix="kg_first_seen_ckpt_")
+    q = (out.writeStream.format("memory").queryName("kg_first_seen")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("kg_streaming_first_seen did not drain")
+    return (spark.table("kg_first_seen")
+            .groupBy("key").agg(F.count("*").alias("n_first_seen"))
+            .orderBy("key"))
+
+
 def kg_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: deterministic fake decode over binary payloads
     (rows-only; the real decoder is stubbed — see operators/multimodal.py)."""
@@ -266,5 +293,6 @@ KG_QUERIES = {
     "kg_ann_ivf_topk": kg_ann_ivf_topk,
     "kg_cosine_near_dup_lsh": kg_cosine_near_dup_lsh,
     "kg_streaming_lang_counts": kg_streaming_lang_counts,
+    "kg_streaming_first_seen": kg_streaming_first_seen,
     "kg_multimodal_features": kg_multimodal_features,
 }
