@@ -67,6 +67,8 @@ def main() -> None:
         "pricing_summary", "region_revenue", "top_customers",
         "events_latest_per_user", "word_cooccurrence", "doc_token_stats",
         "ngram_jaccard_pairs", "cosine_topk", "knn_join",
+        # round-2 operator families: regex NER + keyword classification
+        "legal_citations", "doc_classification",
     ]
     for name in bench_sql:
         fn = DQ.SQL_QUERIES[name]

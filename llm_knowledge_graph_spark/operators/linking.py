@@ -28,7 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-_MERSENNE = (1 << 61) - 1
+# MinHash modulus. MUST be small enough that (a*x + b) actually WRAPS:
+# with p = 2^61-1 and a < 2^31, x < 2^32, the product never reached p, so
+# h_i(x) = a_i*x + b_i was monotone in x for EVERY i — all permutations
+# selected the same min-shingle and the 128-perm signature degenerated to
+# a single-permutation MinHash (no banding amplification; measured
+# signature agreement 0.07 on Jaccard-0.82 sets). With p = 2^31-1 and
+# x reduced mod p first, a*x < 2^62 stays exact in int64 AND wraps, giving
+# independent permutations (agreement ≈ Jaccard, pinned by the property
+# suite).
+_MERSENNE = (1 << 31) - 1
 
 # honorifics / generational suffixes carry no identity signal and create
 # false bridges between distinct people ("Doctor Fatima Kim" ~ "Doctor
@@ -66,19 +75,38 @@ def with_shingles(names: DataFrame, col: str = "id", n: int = 3) -> DataFrame:
     ).drop("_norm")
 
 
+def minhash_signature(shingles, num_perm: int = 64, seed: int = 7) -> list:
+    """Plain-Python MinHash signature — the exact formula the vectorized
+    UDF applies per row (same blake2b shingle hash, same seeded (a, b)
+    permutation family). Used by the property-based suite and anywhere a
+    driver-side signature is needed."""
+    import hashlib
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)[:, None]
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)[:, None]
+    if not shingles:
+        return [0] * num_perm
+    xs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
+                                        digest_size=4).digest(), "big")
+         for s in shingles), dtype=np.int64, count=len(shingles))[None, :]
+    return ((a * (xs % _MERSENNE) + b) % _MERSENNE).min(axis=1).tolist()
+
+
 def make_minhash_udf(num_perm: int, seed: int = 7):
-    """Vectorized MinHash over shingle arrays: h_i(x) = (a_i*x + b_i) mod p.
+    """Vectorized MinHash over shingle arrays: h_i(x) = (a_i*x + b_i) mod p,
+    p = 2^31-1 (see _MERSENNE: the modulus must be small enough to WRAP).
 
     Stays entirely in int64 SIMD arithmetic: the shingle hash is 32-bit
     (blake2b digest truncated — deterministic across workers, unlike
-    salted `hash()`) and a_i < 2^31, so a_i*x + b_i < 2^63 — the modular
-    hash is EXACT in int64, no object-dtype bignum fallback (the earlier
-    object-dtype version spent ~10x the time in pure-Python int ops).
-    32-bit shingle space is ample: per-document shingle sets are ≪ 2^16,
-    so cross-shingle collisions are ~2^-32 per pair."""
+    salted `hash()`), reduced mod p, and a_i < p, so a_i*x + b_i < 2^62 —
+    the modular hash is EXACT in int64, no object-dtype bignum fallback
+    (an earlier object-dtype version spent ~10x the time in pure-Python
+    int ops). 32-bit shingle space is ample: per-document shingle sets are
+    ≪ 2^16, so cross-shingle collisions are ~2^-32 per pair."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.int64)[:, None]
-    b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.int64)[:, None]
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)[:, None]
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)[:, None]
 
     @pandas_udf("array<long>")
     def minhash_udf(shingles: pd.Series) -> pd.Series:
@@ -92,7 +120,7 @@ def make_minhash_udf(num_perm: int, seed: int = 7):
                                                 digest_size=4).digest(), "big")
                  for s in arr), dtype=np.int64, count=len(arr))[None, :]
             # (num_perm, n_shingles) exact int64 modular hash
-            return ((a * xs + b) % _MERSENNE).min(axis=1).tolist()
+            return ((a * (xs % _MERSENNE) + b) % _MERSENNE).min(axis=1).tolist()
         return shingles.map(sig)
 
     return minhash_udf
