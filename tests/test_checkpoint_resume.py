@@ -81,3 +81,43 @@ def test_materialize_roundtrip_and_bucket_pruning(spark, kg_result, tmp_path):
     some_subj = edges.select("subj").first().subj
     pruned = edges.filter(F.col("subj") == some_subj)
     assert pruned.count() >= 1
+
+
+def test_cli_resumable_path_matches_build_kg(spark, pages_df, tmp_path):
+    """The run_pipeline.py checkpoint branch must assemble the SAME graph
+    as build_kg (round-1 gap: it silently omitted every HAS edge). Runs
+    the CLI end-to-end in a subprocess with --checkpoint-dir, reads the
+    materialized graph back, and compares canonical (type,id) node and
+    (subj,pred,obj) edge sets against an in-process build_kg run."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.operators import materialize
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+
+    repo = Path(__file__).resolve().parent.parent
+    out = str(tmp_path / "cli_graph")
+    proc = subprocess.run(
+        [_sys.executable, str(repo / "tools" / "run_pipeline.py"),
+         "--synthesize", "80", "--out", out,
+         "--checkpoint-dir", str(tmp_path / "ckpt"),
+         "--buckets", "8", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    nodes, edges = materialize.read_graph(spark, out)
+    got_nodes = {(r["type"], r["id"])
+                 for r in nodes.select("type", "id").collect()}
+    got_edges = {(r["subj"], r["pred"], r["obj"])
+                 for r in edges.select("subj", "pred", "obj").collect()}
+
+    res = build_kg(spark, pages_df, PipelineConfig())
+    want_nodes = {(r["type"], r["id"]) for r in
+                  res.canonical_nodes.select("type", "id").collect()}
+    want_edges = {(r["subj"], r["pred"], r["obj"]) for r in
+                  res.canonical_edges.select("subj", "pred", "obj").collect()}
+    assert got_nodes == want_nodes
+    assert got_edges == want_edges
+    assert any(p == "HAS" for _, p, _ in got_edges)  # the omitted class

@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--auto-schema", action="store_true",
+                    help="E1+E3: detect+refine the schema, enforce strict")
+    ap.add_argument("--confidence-threshold", type=float, default=None,
+                    help="V4 gate: commit only if mean(V1..V3) >= T")
+    ap.add_argument("--golden-json", default=None,
+                    help="also write the graph-doc JSON artifact here (K3)")
     args = ap.parse_args()
 
     from llm_knowledge_graph_spark.config import PipelineConfig
@@ -52,6 +58,8 @@ def main() -> None:
         supported_langs=tuple(args.langs.split(",")),
         n_subject_buckets=args.buckets, hot_subject_salt=args.salt,
         checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
+        auto_schema=args.auto_schema,
+        confidence_threshold=args.confidence_threshold,
     )
 
     pages = (synthesize_pages(spark, args.synthesize, seed=42)
@@ -68,25 +76,45 @@ def main() -> None:
                 df, cfg.chunk_size, cfg.chunk_overlap),
             args.checkpoint_dir, args.run_id, "extract",
             key_col="url", n_buckets=max(8, args.buckets))
+        # same routing as build_kg: chunk nodes bypass the merge, HAS
+        # edges are DERIVED from node rows (round-1 omission: this path
+        # produced a graph without HAS edges), entity-entity HAS flows
+        # the relationship path
         nodes_raw = extract.nodes_from_flat(flat)
         edges_raw = extract.edges_from_flat(flat)
+        chunk_has = (F.col("pred") == "HAS") & (F.col("subj_type") == "Chunk")
         from llm_knowledge_graph_spark.operators import (components, linking,
                                                          merge)
-        nodes = merge.merge_nodes(nodes_raw).localCheckpoint()
-        edges = merge.merge_edges(edges_raw).localCheckpoint()
-        ent = nodes.filter(nodes["type"] != "Chunk")
+        chunk_nodes = nodes_raw.filter(F.col("type") == "Chunk")
+        has_edges = extract.has_edges_from_nodes(nodes_raw)
+        entity_merged = merge.merge_nodes(
+            nodes_raw.filter(F.col("type") != "Chunk")).localCheckpoint()
+        rel_merged = merge.merge_edges(
+            edges_raw.filter(~chunk_has)).localCheckpoint()
+        nodes = entity_merged.unionByName(
+            chunk_nodes.select(*entity_merged.columns))
+        edges = rel_merged.unionByName(
+            has_edges.select(*rel_merged.columns))
         sim = linking.similarity_edges(
-            ent, cfg.minhash_permutations, cfg.lsh_bands,
+            entity_merged, cfg.minhash_permutations, cfg.lsh_bands,
             cfg.shingle_size, cfg.jaccard_threshold, cfg.link_types)
         mapping = components.canonical_mapping(
-            ent.select("id", "type"), sim, cfg.max_cc_iterations)
+            entity_merged.select("id", "type"), sim, cfg.max_cc_iterations)
         cn, ce = pipeline.rewrite_canonical(nodes, edges, mapping)
+        materialize.write_graph(cn, ce, args.out, cfg.n_subject_buckets,
+                                cfg.hot_subject_salt)
     else:
-        res = pipeline.build_kg(spark, pages, cfg)
+        res = pipeline.build_and_write(spark, pages, args.out, cfg)
         cn, ce = res.canonical_nodes, res.canonical_edges
+        if res.committed is False:
+            print(f"confidence below {args.confidence_threshold}: graph NOT "
+                  f"committed (metrics written to {args.out}/metrics)")
+            spark.stop()
+            return
 
-    materialize.write_graph(cn, ce, args.out, cfg.n_subject_buckets,
-                            cfg.hot_subject_salt)
+    if args.golden_json:
+        from llm_knowledge_graph_spark.sources import golden_json
+        golden_json.write_graph_docs_json(cn, ce, args.golden_json)
     nodes_n, edges_n = cn.count(), ce.count()
     print(f"graph written to {args.out}: {nodes_n} nodes, {edges_n} edges")
     spark.stop()
