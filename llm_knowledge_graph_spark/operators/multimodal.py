@@ -76,6 +76,82 @@ def extract_features(media: DataFrame, fake: bool = True,
     return media.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = ("media_id long, kind string, payload binary, "
+                  "width int, height int")
+FRAME_SCHEMA = ("media_id long, frame_idx int, ts_ms long, payload binary")
+
+
+def _resize_real(payload: bytes, w: int, h: int):
+    raise NotImplementedError(
+        "image resize requires pillow — not available in this container; "
+        "use fake=True for the deterministic stand-in")
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32,
+                  fake: bool = True) -> DataFrame:
+    """Resize plumbing (image rows only): mapInPandas binary→binary with
+    typed size metadata. The fake path emits a deterministic
+    width*height-byte payload keyed by (payload, w, h) — the schema,
+    filtering, and Arrow batch shape are the real contract; swapping in
+    pillow changes only `_resize_real`."""
+    if not fake:
+        _resize_real(b"", width, height)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            out = [
+                bytes(hashlib.blake2b(
+                    (p or b"") + width.to_bytes(4, "big")
+                    + height.to_bytes(4, "big"),
+                    digest_size=32).digest() * ((width * height + 31) // 32)
+                )[: width * height]
+                for p in img["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": img["media_id"],
+                "kind": img["kind"],
+                "payload": out,
+                "width": [width] * len(img),
+                "height": [height] * len(img),
+            })
+
+    return media.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 5000,
+                  fake: bool = True) -> DataFrame:
+    """Frame-sampling plumbing (video rows only): one input row explodes
+    to ceil(duration/every_ms) frame rows inside the SAME mapInPandas
+    batch (1→N row fan-out is the real contract a video decoder needs).
+    Fake frame payload = digest(payload, frame_idx); deterministic."""
+    if not fake:
+        _resize_real(b"", 0, 0)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vid = pdf[pdf["kind"] == "video"]
+            mid: list = []
+            idx: list = []
+            ts: list = []
+            pay: list = []
+            for m, p, dur in zip(vid["media_id"], vid["payload"],
+                                 vid["duration_ms"]):
+                dur = int(dur or 0)
+                n_frames = max(1, (dur + every_ms - 1) // every_ms)
+                for i in range(n_frames):
+                    mid.append(m)
+                    idx.append(i)
+                    ts.append(i * every_ms)
+                    pay.append(hashlib.blake2b(
+                        (p or b"") + i.to_bytes(4, "big"),
+                        digest_size=24).digest())
+            yield pd.DataFrame({"media_id": mid, "frame_idx": idx,
+                                "ts_ms": ts, "payload": pay})
+
+    return media.mapInPandas(gen, FRAME_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic fake media table for tests."""
     import random

@@ -211,3 +211,46 @@ def test_ivf_centroids_deterministic_and_balanced(planted_embeddings):
     cells = {r.cell for r in
              ivf_assign(df, c1).select("cell").distinct().collect()}
     assert len(cells) >= 8  # spread across cells, not collapsed
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize + frame-sample plumbing: typed schemas, kind filtering,
+    deterministic fake payloads, 1→N frame fan-out matching duration."""
+    from llm_knowledge_graph_spark.operators.multimodal import (
+        resize_images, sample_frames, synthesize_media)
+    media = synthesize_media(spark, n=30)
+
+    resized = resize_images(media, width=16, height=8).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(resized) == n_images
+    assert all(r["width"] == 16 and r["height"] == 8 for r in resized)
+    assert all(len(r["payload"]) == 16 * 8 for r in resized)
+    # determinism
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media, width=16, height=8).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in resized} == again
+
+    frames = sample_frames(media, every_ms=5000).collect()
+    durs = {r["media_id"]: r["duration_ms"]
+            for r in media.filter("kind = 'video'").collect()}
+    by_media: dict = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    assert set(by_media) == set(durs)
+    for mid, fs in by_media.items():
+        expect = max(1, (int(durs[mid] or 0) + 4999) // 5000)
+        assert len(fs) == expect
+        assert sorted(f["frame_idx"] for f in fs) == list(range(expect))
+        assert all(f["ts_ms"] == f["frame_idx"] * 5000 for f in fs)
+
+
+def test_multimodal_real_decoder_stubs_raise(spark):
+    import pytest as _pytest
+
+    from llm_knowledge_graph_spark.operators.multimodal import (
+        extract_features, resize_images, synthesize_media)
+    media = synthesize_media(spark, n=3)
+    with _pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, fake=False)
