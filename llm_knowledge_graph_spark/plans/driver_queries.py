@@ -137,6 +137,33 @@ def q_part_type_counts(spark, sf_dir):
             .orderBy("p_type"))
 
 
+def q_orders_priority_rollup(spark, sf_dir):
+    """ROLLUP aggregation (subtotals + grand total — the grouping-set
+    surface Spark gives free; reference has no grouping sets at all).
+    Null group markers coalesced to 'ALL' for deterministic cross-engine
+    output."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n", "revenue_cents")
+            .orderBy("status", "priority"))
+
+
+def q_urgent_and_high_customers(spark, sf_dir):
+    """Set operation (INTERSECT): customers who placed BOTH an urgent and
+    a high-priority order."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return (urgent.intersect(high)
+            .select(F.col("o_custkey").alias("custkey"))
+            .orderBy("custkey"))
+
+
 def q_events_json_extract(spark, sf_dir):
     """JSON scalar functions (SURVEY §2.8: from_json/get_json_object)."""
     e = _t(spark, sf_dir, "events")
@@ -601,6 +628,25 @@ ORACLE_SQL: Dict[str, str] = {
         FROM part WHERE p_size > 25
         GROUP BY p_type ORDER BY p_type
     """,
+    "orders_priority_rollup": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+    "urgent_and_high_customers": """
+        SELECT custkey FROM (
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '2-HIGH'
+        ) ORDER BY custkey
+    """,
     "events_json_extract": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         FROM events
@@ -920,6 +966,8 @@ SQL_QUERIES: Dict[str, Callable] = {
     "nations_without_suppliers": q_nations_without_suppliers,
     "part_type_counts": q_part_type_counts,
     "events_json_extract": q_events_json_extract,
+    "orders_priority_rollup": q_orders_priority_rollup,
+    "urgent_and_high_customers": q_urgent_and_high_customers,
     "doc_lang_counts": q_doc_lang_counts,
     "doc_token_stats": q_doc_token_stats,
     "doc_exact_dedup": q_doc_exact_dedup,
