@@ -72,10 +72,12 @@ def obligation_counts(df: DataFrame, text_col: str = "text",
     shall / shall not / may classification (ref :204-210: a sentence with
     'shall' is an obligation, 'prohibition' when it contains 'shall not';
     'may' → PERMISSION ref :135)."""
+    # word-boundary regexes, not substrings: the reference's spaCy patterns
+    # are TOKEN-exact ({LOWER: "may"}), so "dismay" must not count
     sents = F.split(F.lower(F.col(text_col)), SENT_SPLIT_RE)
-    has_shall = F.filter(sents, lambda s: s.contains("shall"))
-    n_prohib = F.size(F.filter(sents, lambda s: s.contains("shall not")))
-    n_perm = F.size(F.filter(sents, lambda s: s.contains("may")))
+    has_shall = F.filter(sents, lambda s: s.rlike(r"\bshall\b"))
+    n_prohib = F.size(F.filter(sents, lambda s: s.rlike(r"\bshall not\b")))
+    n_perm = F.size(F.filter(sents, lambda s: s.rlike(r"\bmay\b")))
     return df.select(
         F.col(id_col),
         (F.size(has_shall) - n_prohib).alias("n_obligation"),

@@ -861,12 +861,13 @@ ORACLE_SQL: Dict[str, str] = {
                      regexp_split_to_array(lower(text), '\\.\\s+') AS sents
               FROM lt)
         SELECT doc_id,
-               len(list_filter(sents, x -> x LIKE '%shall%'))
-                 - len(list_filter(sents, x -> x LIKE '%shall not%'))
+               len(list_filter(sents, x -> regexp_matches(x, '\\bshall\\b')))
+                 - len(list_filter(sents, x -> regexp_matches(x, '\\bshall not\\b')))
                  AS n_obligation,
-               len(list_filter(sents, x -> x LIKE '%shall not%'))
+               len(list_filter(sents, x -> regexp_matches(x, '\\bshall not\\b')))
                  AS n_prohibition,
-               len(list_filter(sents, x -> x LIKE '%may%')) AS n_permission
+               len(list_filter(sents, x -> regexp_matches(x, '\\bmay\\b')))
+                 AS n_permission
         FROM s ORDER BY doc_id
     """,
     "legal_definitions": """
