@@ -63,6 +63,46 @@ def read_embeddings(spark, out_dir: str, fmt: str = "parquet") -> DataFrame:
             .select("url", "chunk_id", "embedding"))
 
 
+def node_embeddings(nodes: DataFrame, dim: int = EMBEDDING_DIM) -> DataFrame:
+    """K4 node-index analogue (ref Neo4jVector for nodes,
+    code/pdf_graphrag.py:861-889 — present but disabled in the live path):
+    embed each canonical entity NAME → (type, id, embedding). Entity names
+    are the merged distinct set (≪ corpus), so this is a tiny scan."""
+    udf = make_embed_udf(dim)
+    return (nodes.filter(F.col("type") != "Chunk")
+            .select("type", "id", udf(F.col("id")).alias("embedding")))
+
+
+def relationship_embeddings(edges: DataFrame,
+                            dim: int = EMBEDDING_DIM) -> DataFrame:
+    """K4 relationship-index analogue (ref :861-889): embed the verbalized
+    triple 'subj pred obj' → one vector per distinct relationship."""
+    udf = make_embed_udf(dim)
+    verbalized = F.concat_ws(" ", F.col("subj"), F.col("pred"), F.col("obj"))
+    return (edges.filter(F.col("pred") != "HAS")
+            .select("subj", "pred", "obj", verbalized.alias("text"))
+            .dropDuplicates(["subj", "pred", "obj"])
+            .select("subj", "pred", "obj",
+                    udf(F.col("text")).alias("embedding")))
+
+
+def entity_cosine_topk(node_embs: DataFrame, query_vec,
+                       k: int = 5) -> DataFrame:
+    """Q3 analogue over the node index (ref query_vector_database
+    code/pdf_graphrag.py:1056-1078): rank-only top-k entities."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = node_embs.select(
+        "type", "id",
+        F.round(cosine(F.col("embedding"), q), 4).alias("score"))
+    w = Window.orderBy(F.desc("score"), "type", "id")
+    return (scored.orderBy(F.desc("score"), "type", "id").limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "type", "id"))
+
+
 def chunk_cosine_topk(embeddings: DataFrame, query_vec, k: int = 5) -> DataFrame:
     """Q4 analogue over the typed table: top-k chunks by cosine to a query
     vector (ref query_chunks_by_similarity code/pdf_graphrag.py:1082-1104).

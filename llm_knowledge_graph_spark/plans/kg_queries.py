@@ -168,6 +168,18 @@ def kg_streaming_lang_counts(spark, sf_dir):
     return spark.table("kg_stream_lang_counts").orderBy("lang")
 
 
+def kg_node_cosine_topk(spark, sf_dir):
+    """Q3 over the K4 node vector index (ref query_vector_database
+    :1056-1078 against the node Neo4jVector :861-889): embed a probe name
+    with the same encoder, top-10 canonical entities by cosine.
+    Rows-only (encoder is not ANSI-SQL)."""
+    from ..operators import embed
+    from ..reference_impl import embed_text
+    res = _kg(spark)
+    nemb = embed.node_embeddings(res.canonical_nodes)
+    return embed.entity_cosine_topk(nemb, embed_text("John Doe"), k=10)
+
+
 def kg_streaming_first_seen(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     incremental exact dedup over the documents file stream — emits only
@@ -280,6 +292,7 @@ KG_QUERIES = {
     "kg_question_svo": kg_question_svo,
     "kg_validation_report": kg_validation_report,
     "kg_chunk_cosine_topk": kg_chunk_cosine_topk,
+    "kg_node_cosine_topk": kg_node_cosine_topk,
     "kg_node_counts": kg_node_counts,
     "kg_edge_counts": kg_edge_counts,
     "kg_degree_top25": kg_degree_top25,

@@ -96,3 +96,23 @@ def test_validation_scores_empty_classes_score_one(spark):
     assert s["definition_validity"] == 1.0
     assert abs(s["completeness"] - 2 / 5) < 1e-9
     assert abs(s["confidence"] - (1 + 1 + 2 / 5) / 3) < 1e-9
+
+
+def test_node_and_relationship_embeddings(spark, kg_result):
+    """K4 node/relationship vector indexes: exact-name probe ranks the
+    entity itself first (encoder determinism ⇒ cosine 1.0); relationship
+    index has one row per distinct non-HAS triple."""
+    from llm_knowledge_graph_spark.operators import embed
+    from llm_knowledge_graph_spark.reference_impl import embed_text
+
+    nemb = embed.node_embeddings(kg_result.canonical_nodes)
+    assert nemb.filter("type = 'Chunk'").count() == 0
+    probe = nemb.orderBy("type", "id").first()
+    top = embed.entity_cosine_topk(nemb, embed_text(probe["id"]), k=3).collect()
+    assert (top[0]["type"], top[0]["id"]) == (probe["type"], probe["id"])
+
+    remb = embed.relationship_embeddings(kg_result.canonical_edges)
+    n_distinct = (kg_result.canonical_edges.filter("pred != 'HAS'")
+                  .select("subj", "pred", "obj").distinct().count())
+    assert remb.count() == n_distinct
+    assert len(remb.first()["embedding"]) == 64
