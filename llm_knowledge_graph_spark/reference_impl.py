@@ -170,6 +170,7 @@ def chunk_text(text: str, chunk_size: int = CHUNK_SIZE,
     n = len(text)
     while start < n:
         end = min(start + chunk_size, n)
+        at_boundary = True
         if end < n:
             # snap end back to a whitespace boundary (keep >= 1 char progress)
             ws = text.rfind(" ", start + 1, end)
@@ -177,14 +178,27 @@ def chunk_text(text: str, chunk_size: int = CHUNK_SIZE,
             snap = max(ws, nl)
             if snap > start:
                 end = snap
+            else:
+                # a single word longer than chunk_size: hard character cut
+                # (the reference's recursive splitter also falls back to
+                # character-level splitting for over-length words)
+                at_boundary = False
         chunk = text[start:end].strip()
         if chunk:
             chunks.append((cid, chunk, start, end))
             cid += 1
         if end >= n:
             break
+        if not at_boundary:
+            # continue exactly at the cut: the forward word-boundary snap
+            # below would walk past the UNSEEN remainder of the long word,
+            # silently dropping it (round-2 bug: 1 KB+ tokens — URLs,
+            # base64 runs — lost their middles)
+            start = end
+            continue
         start = max(end - overlap, start + 1)
-        # snap start forward to a word boundary
+        # snap start forward to a word boundary (never passes `end`: after
+        # a boundary cut text[end] is whitespace, which stops the walk)
         while start < n and start > 0 and text[start - 1] not in (" ", "\n") \
                 and text[start] not in (" ", "\n"):
             start += 1
