@@ -64,10 +64,37 @@ def word_shingles(docs: DataFrame, key_col: str, text_col: str = "text",
 def minhash_lsh_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
                           shingle_words: int = 3, num_perm: int = 64,
                           bands: int = 16,
-                          jaccard_threshold: float = 0.7) -> DataFrame:
+                          jaccard_threshold: float = 0.7,
+                          collapse_exact: bool = True) -> DataFrame:
     """→ (a, b, jaccard) near-duplicate pairs via MinHash-LSH blocking +
-    exact shingle-Jaccard verification on candidates."""
+    exact shingle-Jaccard verification on candidates.
+
+    collapse_exact (default, the scale path): exact duplicates are
+    collapsed to their min-key representative BEFORE MinHash — D identical
+    documents would otherwise land in the same bucket of EVERY band and
+    explode into D² candidate pairs (the classic duplicate-heavy-bucket
+    blowup on crawl data, where exact-dup mass is routinely 20-50%).
+    (rep, dup) pairs are emitted directly at jaccard 1.0 (group-local,
+    LINEAR in dups), so connected-components clustering over the output
+    is identical to the all-pairs result — only redundant intra-group
+    pairs (implied by transitivity through the representative) are
+    omitted."""
     rows = num_perm // bands
+    if collapse_exact:
+        w_h = docs.select(F.col(key_col), F.col(text_col),
+                          F.md5(F.col(text_col)).alias("_h"))
+        reps = (w_h.groupBy("_h")
+                .agg(F.min(key_col).alias(key_col),
+                     F.first(text_col).alias(text_col)))  # texts equal in group
+        dup_pairs = (w_h.select("_h", F.col(key_col).alias("b"))
+                     .join(reps.select("_h", F.col(key_col).alias("a")), "_h")
+                     .filter(F.col("a") != F.col("b"))   # a = min key < b
+                     .select("a", "b", F.lit(1.0).alias("jaccard")))
+        near = minhash_lsh_near_dups(
+            reps.select(key_col, text_col), key_col, text_col,
+            shingle_words, num_perm, bands, jaccard_threshold,
+            collapse_exact=False)
+        return near.unionByName(dup_pairs)
     sh = word_shingles(docs, key_col, text_col, shingle_words)
     minhash_udf = make_minhash_udf(num_perm)
     sigs = (

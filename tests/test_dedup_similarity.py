@@ -254,3 +254,21 @@ def test_multimodal_real_decoder_stubs_raise(spark):
         extract_features(media, fake=False)
     with _pytest.raises(NotImplementedError):
         resize_images(media, fake=False)
+
+
+def test_minhash_collapse_exact_avoids_pair_blowup(spark):
+    """100 identical docs + one near-dup: all-pairs would be 4950 intra-
+    group pairs; the collapse path emits 99 linear (rep, dup) pairs plus
+    the rep-level near-dup — same connected components, no D² blowup."""
+    from llm_knowledge_graph_spark.operators.dedup import minhash_lsh_near_dups
+    rows = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(100)]
+    rows.append((100, "the quick brown fox jumps over the lazy cat"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.jaccard for r in
+             minhash_lsh_near_dups(docs, "doc_id", "text", shingle_words=2,
+                                   jaccard_threshold=0.5).collect()}
+    dup_pairs = {(a, b) for (a, b), j in pairs.items() if j == 1.0}
+    assert dup_pairs == {(0, i) for i in range(1, 100)}  # linear, rep = min
+    assert (0, 100) in pairs and pairs[(0, 100)] < 1.0   # rep-level near-dup
+    assert len(pairs) == 100                              # 99 + 1, not 4951
