@@ -171,9 +171,27 @@ def make_simhash_udf(bits: int = 64):
 
 
 def simhash_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
-                      max_hamming: int = 6) -> DataFrame:
+                      max_hamming: int = 6,
+                      collapse_exact: bool = True) -> DataFrame:
     """SimHash blocking on 16-bit bands (4 bands; Hamming<=6 pairs almost
-    always collide in ≥1 band), verified with exact popcount distance."""
+    always collide in ≥1 band), verified with exact popcount distance.
+    Exact duplicates collapse to a min-key representative first (same
+    duplicate-heavy-bucket rationale as minhash_lsh_near_dups; identical
+    texts share ALL bands): (rep, dup) pairs emit at hamming 0, linear in
+    group size."""
+    if collapse_exact:
+        w_h = docs.select(F.col(key_col), F.col(text_col),
+                          F.md5(F.col(text_col)).alias("_h"))
+        reps = (w_h.groupBy("_h")
+                .agg(F.min(key_col).alias(key_col),
+                     F.first(text_col).alias(text_col)))
+        dup_pairs = (w_h.select("_h", F.col(key_col).alias("b"))
+                     .join(reps.select("_h", F.col(key_col).alias("a")), "_h")
+                     .filter(F.col("a") != F.col("b"))
+                     .select("a", "b", F.lit(0).cast("int").alias("hamming")))
+        near = simhash_near_dups(reps.select(key_col, text_col), key_col,
+                                 text_col, max_hamming, collapse_exact=False)
+        return near.unionByName(dup_pairs)
     udf = make_simhash_udf()
     sigs = docs.select(F.col(key_col).alias("key"),
                        udf(F.col(text_col)).alias("sh"))

@@ -105,13 +105,28 @@ def lsh_cosine_near_dup_pairs(embeddings: DataFrame,
                               threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              n_planes: int = 4, n_tables: int = 4) -> DataFrame:
+                              n_planes: int = 4, n_tables: int = 4,
+                              collapse_exact: bool = True) -> DataFrame:
     """Pairwise embedding near-dup via multi-table hyperplane LSH — the
     scale path next to the brute-force `cosine_pairs` baseline: candidate
     pairs only form inside a (table, bucket) block (high-cosine vectors
     agree on all planes of some table w.h.p.), then exact cosine verifies.
     The self-join shuffles on the uniform (table, bucket) key — no O(n²)
-    cross product, no skew."""
+    cross product, no skew. Bit-identical vectors (re-crawled pages embed
+    identically) collapse to a min-id representative first — they share
+    EVERY table's bucket, so D copies would otherwise form D² candidates;
+    (rep, dup) pairs emit at score 1.0, linear in group size."""
+    if collapse_exact:
+        w = embeddings.select(F.col(id_col), F.col(vec_col))
+        reps = (w.groupBy(vec_col).agg(F.min(id_col).alias(id_col)))
+        dup_pairs = (w.withColumnRenamed(id_col, "b")
+                     .join(reps.withColumnRenamed(id_col, "a"), vec_col)
+                     .filter(F.col("a") != F.col("b"))
+                     .select("a", "b", F.lit(1.0).alias("score")))
+        near = lsh_cosine_near_dup_pairs(
+            reps.select(id_col, vec_col), threshold, id_col, vec_col,
+            n_planes, n_tables, collapse_exact=False)
+        return near.unionByName(dup_pairs)
     first = embeddings.select(vec_col).first()
     if first is None:
         # empty-input schema must match the non-empty path — derive the
