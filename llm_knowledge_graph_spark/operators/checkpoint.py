@@ -81,6 +81,18 @@ def run_stage_resumable(
     stage_dir = os.path.join(base, run_id, stage)
     done = set(completed_buckets(base, run_id, stage))
     pending = [b for b in range(n_buckets) if b not in done]
+
+    # torn-state repair: a crash AFTER the parquet append but BEFORE the
+    # manifest commit leaves orphan data for still-pending buckets; a
+    # resume would recompute them and APPEND duplicates. The manifest is
+    # the single source of truth — clear any uncommitted bucket dirs
+    # before recomputing, making the append idempotent.
+    import shutil
+    for b in pending:
+        orphan = os.path.join(stage_dir, "data", f"bucket={b}")
+        if os.path.exists(orphan):
+            shutil.rmtree(orphan)
+
     binp = with_bucket(inp, key_col, n_buckets)
 
     group: List[int] = []

@@ -121,3 +121,40 @@ def test_cli_resumable_path_matches_build_kg(spark, pages_df, tmp_path):
     assert got_nodes == want_nodes
     assert got_edges == want_edges
     assert any(p == "HAS" for _, p, _ in got_edges)  # the omitted class
+
+
+def test_torn_write_does_not_duplicate(spark, pages_df, tmp_path):
+    """Exactly-once under a torn failure: data for a bucket written but the
+    manifest NOT committed (crash between append and commit). Resume must
+    clear the orphan and recompute — without the repair, the bucket's rows
+    appear twice in the final output."""
+    import os
+
+    from llm_knowledge_graph_spark.operators.checkpoint import (
+        _mark_completed, completed_buckets, run_stage_resumable, with_bucket)
+
+    base = str(tmp_path / "ckpt")
+    n_buckets = 4
+    full = sorted(map(tuple, _chunk_stage(pages_df)
+                      .select("url", "chunk_id", "text").collect()))
+
+    # commit buckets {0,1} properly...
+    binp = with_bucket(pages_df, "url", n_buckets)
+    part = binp.filter(F.col("bucket").isin([0, 1])).drop("bucket")
+    (with_bucket(_chunk_stage(part), "url", n_buckets)
+     .write.mode("append")
+     .partitionBy("bucket").parquet(os.path.join(base, "r", "chunk", "data")))
+    _mark_completed(base, "r", "chunk", [0, 1])
+    # ...then TEAR bucket 2: data on disk, manifest never updated
+    part2 = binp.filter(F.col("bucket") == 2).drop("bucket")
+    (with_bucket(_chunk_stage(part2), "url", n_buckets)
+     .write.mode("append")
+     .partitionBy("bucket").parquet(os.path.join(base, "r", "chunk", "data")))
+    assert completed_buckets(base, "r", "chunk") == [0, 1]
+
+    resumed = run_stage_resumable(
+        spark, pages_df, _chunk_stage, base, "r", "chunk",
+        key_col="url", n_buckets=n_buckets)
+    got = sorted(map(tuple,
+                     resumed.select("url", "chunk_id", "text").collect()))
+    assert got == full  # no duplicated bucket-2 rows
