@@ -33,13 +33,17 @@ def keyword_classify(df: DataFrame, text_col: str = "text",
                      default: str = DEFAULT_CATEGORY) -> DataFrame:
     """Adds `doc_type` (first matching rule) and `confidence` (matched-
     keyword occurrences, capped at 100; 0 for the default class)."""
+    import re as _re
     t = F.col(text_col)
     doc_type = F.lit(default)
     confidence = F.lit(0)
     for kw, cat in reversed(rules):
+        # LITERAL occurrence count — the keyword is escaped so rule words
+        # carrying regex metacharacters ("c++") count consistently with
+        # the literal `contains` match test
         hits = (F.length(t)
-                - F.length(F.regexp_replace(t, F.lit(kw), F.lit("")))) \
-            / len(kw)
+                - F.length(F.regexp_replace(t, F.lit(_re.escape(kw)),
+                                            F.lit("")))) / len(kw)
         doc_type = F.when(t.contains(kw), F.lit(cat)).otherwise(doc_type)
         confidence = F.when(t.contains(kw),
                             F.least(hits.cast("int"), F.lit(100))) \

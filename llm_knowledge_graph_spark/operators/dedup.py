@@ -45,6 +45,28 @@ def exact_dedup(docs: DataFrame, key_col: str, text_col: str = "text") -> DataFr
     return w_h.join(keep, ["_h", key_col], "left_semi").drop("_h")
 
 
+def collapse_to_reps(df: DataFrame, key_col: str, payload_col: str,
+                     hash_expr=None):
+    """Shared exact-duplicate collapse for the near-dup pair operators:
+    → (reps, dup_pairs(a, b)). Groups rows by `hash_expr` (default: the
+    payload column itself — exact, collision-free), keeps the min-key
+    representative per group (payload values are equal within a group, so
+    `first` is deterministic in value), and emits (rep, member) pairs —
+    LINEAR in group size, replacing the D² intra-bucket pairs D identical
+    payloads would otherwise generate inside LSH blocks. a = min key < b
+    by construction."""
+    h = hash_expr if hash_expr is not None else F.col(payload_col)
+    w = df.select(F.col(key_col), F.col(payload_col), h.alias("_h"))
+    reps = (w.groupBy("_h")
+            .agg(F.min(key_col).alias(key_col),
+                 F.first(payload_col).alias(payload_col)))
+    dup_pairs = (w.select("_h", F.col(key_col).alias("b"))
+                 .join(reps.select("_h", F.col(key_col).alias("a")), "_h")
+                 .filter(F.col("a") != F.col("b"))
+                 .select("a", "b"))
+    return reps.drop("_h"), dup_pairs
+
+
 def word_shingles(docs: DataFrame, key_col: str, text_col: str = "text",
                   n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc (JVM-side)."""
@@ -81,20 +103,13 @@ def minhash_lsh_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
     omitted."""
     rows = num_perm // bands
     if collapse_exact:
-        w_h = docs.select(F.col(key_col), F.col(text_col),
-                          F.md5(F.col(text_col)).alias("_h"))
-        reps = (w_h.groupBy("_h")
-                .agg(F.min(key_col).alias(key_col),
-                     F.first(text_col).alias(text_col)))  # texts equal in group
-        dup_pairs = (w_h.select("_h", F.col(key_col).alias("b"))
-                     .join(reps.select("_h", F.col(key_col).alias("a")), "_h")
-                     .filter(F.col("a") != F.col("b"))   # a = min key < b
-                     .select("a", "b", F.lit(1.0).alias("jaccard")))
+        reps, dups = collapse_to_reps(docs.select(key_col, text_col),
+                                      key_col, text_col,
+                                      F.md5(F.col(text_col)))
         near = minhash_lsh_near_dups(
-            reps.select(key_col, text_col), key_col, text_col,
-            shingle_words, num_perm, bands, jaccard_threshold,
-            collapse_exact=False)
-        return near.unionByName(dup_pairs)
+            reps, key_col, text_col, shingle_words, num_perm, bands,
+            jaccard_threshold, collapse_exact=False)
+        return near.unionByName(dups.withColumn("jaccard", F.lit(1.0)))
     sh = word_shingles(docs, key_col, text_col, shingle_words)
     minhash_udf = make_minhash_udf(num_perm)
     sigs = (
@@ -180,18 +195,13 @@ def simhash_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
     texts share ALL bands): (rep, dup) pairs emit at hamming 0, linear in
     group size."""
     if collapse_exact:
-        w_h = docs.select(F.col(key_col), F.col(text_col),
-                          F.md5(F.col(text_col)).alias("_h"))
-        reps = (w_h.groupBy("_h")
-                .agg(F.min(key_col).alias(key_col),
-                     F.first(text_col).alias(text_col)))
-        dup_pairs = (w_h.select("_h", F.col(key_col).alias("b"))
-                     .join(reps.select("_h", F.col(key_col).alias("a")), "_h")
-                     .filter(F.col("a") != F.col("b"))
-                     .select("a", "b", F.lit(0).cast("int").alias("hamming")))
-        near = simhash_near_dups(reps.select(key_col, text_col), key_col,
-                                 text_col, max_hamming, collapse_exact=False)
-        return near.unionByName(dup_pairs)
+        reps, dups = collapse_to_reps(docs.select(key_col, text_col),
+                                      key_col, text_col,
+                                      F.md5(F.col(text_col)))
+        near = simhash_near_dups(reps, key_col, text_col, max_hamming,
+                                 collapse_exact=False)
+        return near.unionByName(
+            dups.withColumn("hamming", F.lit(0).cast("int")))
     udf = make_simhash_udf()
     sigs = docs.select(F.col(key_col).alias("key"),
                        udf(F.col(text_col)).alias("sh"))

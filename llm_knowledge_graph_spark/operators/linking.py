@@ -75,22 +75,35 @@ def with_shingles(names: DataFrame, col: str = "id", n: int = 3) -> DataFrame:
     ).drop("_norm")
 
 
-def minhash_signature(shingles, num_perm: int = 64, seed: int = 7) -> list:
-    """Plain-Python MinHash signature — the exact formula the vectorized
-    UDF applies per row (same blake2b shingle hash, same seeded (a, b)
-    permutation family). Used by the property-based suite and anywhere a
-    driver-side signature is needed."""
-    import hashlib
+def _perm_family(num_perm: int, seed: int):
+    """The seeded (a, b) permutation family — ONE construction shared by
+    the plain function and the Spark UDF, so the property suite validates
+    the exact arithmetic production runs."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)[:, None]
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)[:, None]
-    if not shingles:
+    return a, b
+
+
+def _signature(shingles, a, b, num_perm: int) -> list:
+    """MinHash signature kernel: blake2b-32bit shingle hash reduced mod p,
+    then (a·x + b) mod p per permutation, min over shingles."""
+    import hashlib
+    if shingles is None or len(shingles) == 0:
         return [0] * num_perm
     xs = np.fromiter(
         (int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
                                         digest_size=4).digest(), "big")
          for s in shingles), dtype=np.int64, count=len(shingles))[None, :]
     return ((a * (xs % _MERSENNE) + b) % _MERSENNE).min(axis=1).tolist()
+
+
+def minhash_signature(shingles, num_perm: int = 64, seed: int = 7) -> list:
+    """Plain-Python MinHash signature — same kernel the vectorized UDF
+    applies per row (used by the property-based suite and anywhere a
+    driver-side signature is needed)."""
+    a, b = _perm_family(num_perm, seed)
+    return _signature(shingles, a, b, num_perm)
 
 
 def make_minhash_udf(num_perm: int, seed: int = 7):
@@ -104,24 +117,11 @@ def make_minhash_udf(num_perm: int, seed: int = 7):
     (an earlier object-dtype version spent ~10x the time in pure-Python
     int ops). 32-bit shingle space is ample: per-document shingle sets are
     ≪ 2^16, so cross-shingle collisions are ~2^-32 per pair."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)[:, None]
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)[:, None]
+    a, b = _perm_family(num_perm, seed)
 
     @pandas_udf("array<long>")
     def minhash_udf(shingles: pd.Series) -> pd.Series:
-        import hashlib
-
-        def sig(arr) -> list:
-            if arr is None or len(arr) == 0:
-                return [0] * num_perm
-            xs = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
-                                                digest_size=4).digest(), "big")
-                 for s in arr), dtype=np.int64, count=len(arr))[None, :]
-            # (num_perm, n_shingles) exact int64 modular hash
-            return ((a * (xs % _MERSENNE) + b) % _MERSENNE).min(axis=1).tolist()
-        return shingles.map(sig)
+        return shingles.map(lambda arr: _signature(arr, a, b, num_perm))
 
     return minhash_udf
 

@@ -117,16 +117,14 @@ def lsh_cosine_near_dup_pairs(embeddings: DataFrame,
     EVERY table's bucket, so D copies would otherwise form D² candidates;
     (rep, dup) pairs emit at score 1.0, linear in group size."""
     if collapse_exact:
-        w = embeddings.select(F.col(id_col), F.col(vec_col))
-        reps = (w.groupBy(vec_col).agg(F.min(id_col).alias(id_col)))
-        dup_pairs = (w.withColumnRenamed(id_col, "b")
-                     .join(reps.withColumnRenamed(id_col, "a"), vec_col)
-                     .filter(F.col("a") != F.col("b"))
-                     .select("a", "b", F.lit(1.0).alias("score")))
+        from .dedup import collapse_to_reps
+        # group key = the vector itself (exact, collision-free)
+        reps, dups = collapse_to_reps(
+            embeddings.select(id_col, vec_col), id_col, vec_col)
         near = lsh_cosine_near_dup_pairs(
-            reps.select(id_col, vec_col), threshold, id_col, vec_col,
+            reps, threshold, id_col, vec_col,
             n_planes, n_tables, collapse_exact=False)
-        return near.unionByName(dup_pairs)
+        return near.unionByName(dups.withColumn("score", F.lit(1.0)))
     first = embeddings.select(vec_col).first()
     if first is None:
         # empty-input schema must match the non-empty path — derive the

@@ -26,24 +26,26 @@ DEFAULT_CONFIDENCE_THRESHOLD = 0.99  # ref legal_graphrag.py:342
 EXPECTED_CLASSES = ["Person", "Organization", "Place", "Term", "Section"]
 
 
-def _score_or_one(df: DataFrame, pred) -> float:
-    """avg(pred) over df, 1.0 when df is empty (ref empty-list semantics)."""
-    row = df.agg(F.avg(F.when(pred, 1.0).otherwise(0.0)).alias("s")).first()
-    return 1.0 if row["s"] is None else float(row["s"])
-
-
 def validation_scores(nodes: DataFrame) -> dict:
     """{citation_format_validity, definition_validity, completeness,
-    confidence} over the built graph's node classes."""
-    v1 = _score_or_one(
-        nodes.filter(F.col("type") == "Section"),
-        F.col("id").rlike(r"^§ \d+(\.\d+)*$"))
-    v2 = _score_or_one(
-        nodes.filter(F.col("type") == "Term"),
-        F.length(F.element_at("properties", "definitionText")) > 10)
-    present = (nodes.filter(F.col("type").isin(EXPECTED_CLASSES))
-               .select("type").distinct().count())
-    v3 = float(present) / len(EXPECTED_CLASSES)
+    confidence} over the built graph's node classes — ONE aggregation pass
+    (a conditional avg ignores the nulls of other node classes, so each
+    score sees only its own class; null avg = empty class = 1.0, the
+    reference's empty-list semantics ref :281-283, :296-298)."""
+    v1_pred = F.col("id").rlike(r"^§ \d+(\.\d+)*$")
+    v2_pred = F.length(F.element_at("properties", "definitionText")) > 10
+    row = nodes.agg(
+        F.avg(F.when(F.col("type") == "Section",
+                     F.when(v1_pred, 1.0).otherwise(0.0))).alias("v1"),
+        F.avg(F.when(F.col("type") == "Term",
+                     F.when(v2_pred, 1.0).otherwise(0.0))).alias("v2"),
+        F.countDistinct(
+            F.when(F.col("type").isin(EXPECTED_CLASSES), F.col("type"))
+        ).alias("present"),
+    ).first()
+    v1 = 1.0 if row["v1"] is None else float(row["v1"])
+    v2 = 1.0 if row["v2"] is None else float(row["v2"])
+    v3 = float(row["present"]) / len(EXPECTED_CLASSES)
     return {
         "citation_format_validity": v1,
         "definition_validity": v2,

@@ -193,18 +193,25 @@ def kg_streaming_first_seen(spark, sf_dir):
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    import shutil
+
     out = streaming_first_seen(stream)
     ckpt = tempfile.mkdtemp(prefix="kg_first_seen_ckpt_")
-    q = (out.writeStream.format("memory").queryName("kg_first_seen")
-         .outputMode("append")
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("kg_streaming_first_seen did not drain")
-    return (spark.table("kg_first_seen")
-            .groupBy("key").agg(F.count("*").alias("n_first_seen"))
-            .orderBy("key"))
+    try:
+        q = (out.writeStream.format("memory").queryName("kg_first_seen")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("kg_streaming_first_seen did not drain")
+        # materialize from the memory sink BEFORE the checkpoint dir goes
+        rows = (spark.table("kg_first_seen")
+                .groupBy("key").agg(F.count("*").alias("n_first_seen"))
+                .orderBy("key").collect())
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)  # no temp-state leak
+    return spark.createDataFrame(rows, "key string, n_first_seen long")
 
 
 def kg_multimodal_features(spark, sf_dir):
@@ -239,8 +246,10 @@ def kg_question_svo(spark, sf_dir):
     hit = svo.first()
     if hit is None:
         return svo
-    # resolve through linking, then scan edges for the verb's UPPER_SNAKE
-    pred = hit["verb"].strip().replace(" ", "_").upper()
+    # normalize the verb with the SAME canonical normalizer that produced
+    # the stored edge predicates (never an inline re-implementation)
+    from ..reference_impl import format_relationship_type
+    pred = format_relationship_type(hit["verb"])
     return (res.canonical_edges.filter(F.col("pred") == pred)
             .select("subj", "pred", "obj")
             .orderBy("subj", "obj").limit(25))
@@ -278,7 +287,7 @@ def kg_chunk_cosine_topk(spark, sf_dir):
     vector index :245-269): embed a probe string with the same encoder,
     scan the typed array<float> column with a pure JVM cosine expression,
     rank-only top-10. Rows-only (chunking/embedding is not ANSI-SQL);
-    roundtrip + parity proven in tests/test_embeddings_table.py."""
+    roundtrip + parity proven in tests/test_embeddings_and_gate.py."""
     from ..operators import embed
     from ..reference_impl import embed_text
     res = _kg(spark)

@@ -132,9 +132,18 @@ def build_kg(spark: SparkSession, pages: DataFrame,
 
     canonical_nodes, canonical_edges = rewrite_canonical(nodes, edges, mapping)
     from ..operators import embed
+    # chunk text for the embedding table comes from the PERSISTED flat
+    # cache (kind='n' chunk rows carry it on a dedicated column) — NOT from
+    # the standalone chunker, which would pay a second full html→text+chunk
+    # Python crossing of the corpus; `chunks` (with char spans) stays the
+    # lazy standalone surface for consumers that need spans
+    chunk_texts = (flat.filter((F.col("kind") == "n")
+                               & F.col("chunk_text").isNotNull())
+                   .select("url", "chunk_id",
+                           F.col("chunk_text").alias("text")))
     return KGResult(chunks, nodes, edges, sim, mapping,
                     canonical_nodes, canonical_edges,
-                    chunk_embeddings=embed.chunk_embeddings(chunks))
+                    chunk_embeddings=embed.chunk_embeddings(chunk_texts))
 
 
 def strict_filter(nodes_raw: DataFrame, edges_raw: DataFrame,

@@ -76,17 +76,22 @@ _FIRST_SEEN_STATE = "seen array<string>"
 def _first_seen_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterable[pd.DataFrame]:
     seen = set(state.get[0]) if state.exists else set()
+    # accumulate ALL Arrow chunks of this group's micro-batch BEFORE
+    # sorting: a group larger than arrow.maxRecordsPerBatch arrives as
+    # multiple frames, and sorting per-frame would let a later-chunk
+    # smaller doc_id lose to an earlier-chunk larger one (chunk-boundary-
+    # dependent output). "min doc_id wins per digest" must hold batch-wide.
+    rows: list = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["doc_id"], pdf["digest"]))
     out_key: list = []
     out_id: list = []
     out_dg: list = []
-    for pdf in pdfs:
-        # deterministic intra-batch order: first doc_id wins per digest
-        for doc_id, dg in sorted(zip(pdf["doc_id"], pdf["digest"]),
-                                 key=lambda t: t[0]):
-            if dg not in seen:
-                seen.add(dg)
-                out_key.append(key[0]); out_id.append(int(doc_id))
-                out_dg.append(dg)
+    for doc_id, dg in sorted(rows, key=lambda t: t[0]):
+        if dg not in seen:
+            seen.add(dg)
+            out_key.append(key[0]); out_id.append(int(doc_id))
+            out_dg.append(dg)
     state.update((sorted(seen),))
     yield pd.DataFrame({"key": out_key, "doc_id": out_id, "digest": out_dg})
 

@@ -67,9 +67,23 @@ def main() -> None:
 
     if args.checkpoint_dir:
         # resumable path: the fused extract stage commits per-bucket
-        # checkpoints; an interrupted run restarts from the manifest
+        # checkpoints; an interrupted run restarts from the manifest.
+        # Feature parity with build_and_write: auto-schema detection runs
+        # BEFORE extraction, strict-mode filtering applies to the resumed
+        # flat output, the V4 gate runs before the sink commit, and the
+        # embeddings table is derived from the checkpointed chunk text
+        # (no second extraction crossing).
         from pyspark.sql import functions as F
         pages = pages.filter(F.col("lang").isin(list(cfg.supported_langs)))
+        if (cfg.auto_schema and cfg.allowed_entities is None
+                and cfg.allowed_relationships is None):
+            from dataclasses import replace
+
+            from llm_knowledge_graph_spark.operators import schema_detect
+            detected = schema_detect.detect_schema(
+                pages, cfg.schema_chunk_size, cfg.schema_chunk_overlap)
+            cfg = replace(cfg, allowed_entities=detected["nodes"],
+                          allowed_relationships=detected["relationships"])
         flat = checkpoint.run_stage_resumable(
             spark, pages,
             lambda df: extract.extract_pages_flat(
@@ -82,9 +96,15 @@ def main() -> None:
         # the relationship path
         nodes_raw = extract.nodes_from_flat(flat)
         edges_raw = extract.edges_from_flat(flat)
+        if (cfg.allowed_entities is not None
+                or cfg.allowed_relationships is not None):
+            nodes_raw, edges_raw = pipeline.strict_filter(
+                nodes_raw, edges_raw,
+                cfg.allowed_entities or [], cfg.allowed_relationships or [])
         chunk_has = (F.col("pred") == "HAS") & (F.col("subj_type") == "Chunk")
-        from llm_knowledge_graph_spark.operators import (components, linking,
-                                                         merge)
+        from llm_knowledge_graph_spark.operators import (components, embed,
+                                                         linking, merge,
+                                                         validate)
         chunk_nodes = nodes_raw.filter(F.col("type") == "Chunk")
         has_edges = extract.has_edges_from_nodes(nodes_raw)
         entity_merged = merge.merge_nodes(
@@ -101,8 +121,24 @@ def main() -> None:
         mapping = components.canonical_mapping(
             entity_merged.select("id", "type"), sim, cfg.max_cc_iterations)
         cn, ce = pipeline.rewrite_canonical(nodes, edges, mapping)
+        if cfg.confidence_threshold is not None:
+            scores = validate.validation_scores(cn)
+            if scores["confidence"] < cfg.confidence_threshold:
+                (materialize.graph_metrics(cn, ce).coalesce(1)
+                 .write.mode("overwrite").parquet(f"{args.out}/metrics"))
+                print(f"confidence {scores['confidence']:.4f} below "
+                      f"{cfg.confidence_threshold}: graph NOT committed "
+                      f"(metrics written to {args.out}/metrics)")
+                spark.stop()
+                return
         materialize.write_graph(cn, ce, args.out, cfg.n_subject_buckets,
                                 cfg.hot_subject_salt)
+        chunk_texts = (flat.filter((F.col("kind") == "n")
+                                   & F.col("chunk_text").isNotNull())
+                       .select("url", "chunk_id",
+                               F.col("chunk_text").alias("text")))
+        embed.write_embeddings(embed.chunk_embeddings(chunk_texts),
+                               args.out, cfg.n_subject_buckets)
     else:
         res = pipeline.build_and_write(spark, pages, args.out, cfg)
         cn, ce = res.canonical_nodes, res.canonical_edges
