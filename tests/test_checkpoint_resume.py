@@ -158,3 +158,39 @@ def test_torn_write_does_not_duplicate(spark, pages_df, tmp_path):
     got = sorted(map(tuple,
                      resumed.select("url", "chunk_id", "text").collect()))
     assert got == full  # no duplicated bucket-2 rows
+
+
+def test_cli_checkpoint_branch_honors_feature_flags(spark, pages_df, tmp_path):
+    """--auto-schema and --confidence-threshold must be honored by the
+    checkpoint branch too (they were silently ignored there), and the
+    embeddings table must be written. Gate-pass case: graph + embeddings
+    land and the node set equals an in-process auto_schema build."""
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.operators import embed, materialize
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+
+    repo = Path(__file__).resolve().parent.parent
+    out = str(tmp_path / "cli_auto")
+    proc = subprocess.run(
+        [_sys.executable, str(repo / "tools" / "run_pipeline.py"),
+         "--synthesize", "80", "--out", out,
+         "--checkpoint-dir", str(tmp_path / "ckpt2"),
+         "--auto-schema", "--confidence-threshold", "0.99",
+         "--buckets", "8", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert os.path.isdir(f"{out}/nodes") and os.path.isdir(f"{out}/embeddings")
+
+    nodes, _ = materialize.read_graph(spark, out)
+    got = {(r["type"], r["id"]) for r in nodes.select("type", "id").collect()}
+    res = build_kg(spark, pages_df, PipelineConfig(auto_schema=True))
+    want = {(r["type"], r["id"]) for r in
+            res.canonical_nodes.select("type", "id").collect()}
+    assert got == want
+    emb = embed.read_embeddings(spark, out)
+    assert emb.count() == res.chunk_embeddings.count()
