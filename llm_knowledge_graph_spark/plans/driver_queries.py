@@ -117,6 +117,29 @@ def q_events_type_stats(spark, sf_dir):
         .orderBy("event_type"))
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (the batch twin of session windows): a new
+    session starts when >30 min passed since the user's previous event —
+    lag + running sum of session-start flags, then per-user session stats.
+    Full-precision double epoch seconds on both engines → identical gaps."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # full-precision epoch seconds (micros/1e6 as double) on BOTH engines —
+    # casting to long would truncate micros while DuckDB epoch() keeps them
+    sec = F.col("ts").cast("timestamp").cast("double")
+    prev = F.lag(sec).over(w)
+    new_sess = F.when(prev.isNull() | ((sec - prev) > 1800.0), 1) \
+        .otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per_event = e.select("user_id", "event_id",
+                         new_sess.alias("is_new"), sess_id.alias("sess"))
+    return (per_event.groupBy("user_id")
+            .agg(F.max("sess").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
 def q_nations_without_suppliers(spark, sf_dir):
     """Anti-join: nations with no HIGH-BALANCE supplier (s_acctbal > 8000).
     The unfiltered predicate returns 0 rows at sf>=0.01 (every nation has
@@ -616,6 +639,26 @@ ORACLE_SQL: Dict[str, str] = {
                ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*), 4) AS avg_value
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "user_sessions": """
+        WITH flagged AS (
+            SELECT user_id, event_id,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_id,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(MAX(sess) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id ORDER BY user_id
+    """,
     "nations_without_suppliers": """
         SELECT n_name FROM nation
         WHERE n_nationkey NOT IN
@@ -963,6 +1006,7 @@ SQL_QUERIES: Dict[str, Callable] = {
     "order_priority_counts": q_order_priority_counts,
     "market_segment_stats": q_market_segment_stats,
     "events_latest_per_user": q_events_latest_per_user,
+    "user_sessions": q_user_sessions,
     "events_type_stats": q_events_type_stats,
     "nations_without_suppliers": q_nations_without_suppliers,
     "part_type_counts": q_part_type_counts,
