@@ -140,6 +140,26 @@ def q_user_sessions(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_user_session_windows(spark, sf_dir):
+    """The SAME sessionization computed with Spark's NATIVE session_window
+    (merging event-time windows with a 30-min gap) instead of the
+    hand-rolled lag/running-sum of q_user_sessions — both verify against
+    one DuckDB oracle, so the two independent implementations and the
+    oracle must triple-agree. Boundary note: session_window treats a gap
+    of exactly 1800.000000s as a new session (window end exclusive), the
+    lag variant uses strictly-greater — indistinguishable on microsecond
+    timestamps."""
+    e = _t(spark, sf_dir, "events")
+    sess = (e.groupBy(
+        "user_id",
+        F.session_window(F.col("ts").cast("timestamp"), "30 minutes"))
+        .agg(F.count("*").alias("n")))
+    return (sess.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n").alias("n_events"))
+            .orderBy("user_id"))
+
+
 def q_nations_without_suppliers(spark, sf_dir):
     """Anti-join: nations with no HIGH-BALANCE supplier (s_acctbal > 8000).
     The unfiltered predicate returns 0 rows at sf>=0.01 (every nation has
@@ -992,6 +1012,11 @@ ORACLE_SQL: Dict[str, str] = {
 }
 
 
+# the native-session_window variant verifies against the SAME oracle as
+# the lag-based q_user_sessions — two independent implementations must
+# agree with one ground truth
+ORACLE_SQL["user_session_windows"] = ORACLE_SQL["user_sessions"]
+
 # splice the shared legal-text synthesis into the legal oracles ({{ }} in
 # those templates escape literal regex braces for .format)
 for _name in ("legal_citations", "legal_obligations", "legal_definitions",
@@ -1007,6 +1032,7 @@ SQL_QUERIES: Dict[str, Callable] = {
     "market_segment_stats": q_market_segment_stats,
     "events_latest_per_user": q_events_latest_per_user,
     "user_sessions": q_user_sessions,
+    "user_session_windows": q_user_session_windows,
     "events_type_stats": q_events_type_stats,
     "nations_without_suppliers": q_nations_without_suppliers,
     "part_type_counts": q_part_type_counts,
