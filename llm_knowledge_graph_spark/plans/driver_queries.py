@@ -160,6 +160,31 @@ def q_user_session_windows(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_events_stream_sessions(spark, sf_dir):
+    """STREAMING stateful session windows: the same 30-min-gap
+    sessionization as q_user_sessions/q_user_session_windows, computed by
+    Structured Streaming's session_window state machine (watermarked,
+    drained with availableNow, complete mode) — the third independent
+    implementation verifying against the single DuckDB oracle."""
+    from ..streaming.windowed import session_counts_stream
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = session_counts_stream(stream, gap="30 minutes",
+                                watermark="2 hours")
+    q = (agg.writeStream.format("memory")
+         .queryName("events_stream_sessions")
+         .outputMode("complete").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("events_stream_sessions did not drain in 120s")
+    return (spark.table("events_stream_sessions")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n").alias("n_events"))
+            .orderBy("user_id"))
+
+
 def q_nations_without_suppliers(spark, sf_dir):
     """Anti-join: nations with no HIGH-BALANCE supplier (s_acctbal > 8000).
     The unfiltered predicate returns 0 rows at sf>=0.01 (every nation has
@@ -1016,6 +1041,7 @@ ORACLE_SQL: Dict[str, str] = {
 # the lag-based q_user_sessions — two independent implementations must
 # agree with one ground truth
 ORACLE_SQL["user_session_windows"] = ORACLE_SQL["user_sessions"]
+ORACLE_SQL["events_stream_sessions"] = ORACLE_SQL["user_sessions"]
 
 # splice the shared legal-text synthesis into the legal oracles ({{ }} in
 # those templates escape literal regex braces for .format)
@@ -1033,6 +1059,7 @@ SQL_QUERIES: Dict[str, Callable] = {
     "events_latest_per_user": q_events_latest_per_user,
     "user_sessions": q_user_sessions,
     "user_session_windows": q_user_session_windows,
+    "events_stream_sessions": q_events_stream_sessions,
     "events_type_stats": q_events_type_stats,
     "nations_without_suppliers": q_nations_without_suppliers,
     "part_type_counts": q_part_type_counts,

@@ -69,6 +69,23 @@ def batch_windowed_event_counts(events: DataFrame,
                     "event_type", "n", "value_cents"))
 
 
+def session_counts_stream(events_stream: DataFrame,
+                          gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Stateful SESSION windows over the event stream: Structured
+    Streaming's session_window merges event-time windows closer than
+    `gap`, with state expired at the watermark — per-(user, session)
+    event counts. The drained complete-mode result equals the batch
+    session_window (and the lag-based SQL sessionization oracle)."""
+    return (events_stream
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n"))
+
+
 _FIRST_SEEN_OUT = "key string, doc_id long, digest string"
 _FIRST_SEEN_STATE = "seen array<string>"
 
