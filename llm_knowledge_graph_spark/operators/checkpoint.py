@@ -96,15 +96,37 @@ def run_stage_resumable(
     binp = with_bucket(inp, key_col, n_buckets)
 
     group: List[int] = []
+    out_schema_json = None
     for b in pending:
         group.append(b)
         if len(group) >= buckets_per_commit or b == pending[-1]:
             part = binp.filter(F.col("bucket").isin(group))
             out = stage_fn(part.drop("bucket"))
+            out_schema_json = out.schema.json()
             (with_bucket(out, key_col, n_buckets)
              .write.mode("append").partitionBy("bucket")
              .parquet(stage_dir + "/data"))
-            _mark_completed(base, run_id, stage, group)
+            # the output schema rides in the manifest so a resumed or
+            # zero-row run can read the data dir back without relying on
+            # parquet schema inference (which throws when the stage
+            # produced no part files at all)
+            _mark_completed(base, run_id, stage, group,
+                            extra={"schema": out_schema_json})
             group = []
 
+    if out_schema_json is None:  # fully resumed: schema from the manifest
+        with open(_manifest_path(base, run_id, stage)) as f:
+            out_schema_json = json.load(f).get("schema")
+    if out_schema_json is not None:
+        from pyspark.sql.types import StructType
+        schema = StructType.fromJson(json.loads(out_schema_json))
+        data_dir = stage_dir + "/data"
+        if not os.path.isdir(data_dir):
+            # every bucket committed zero rows — no dir was ever created
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(
+            with_bucket(spark.createDataFrame([], schema),
+                        key_col, n_buckets).schema
+        ).parquet(data_dir).drop("bucket")
+    # legacy manifest without a schema: fall back to inference
     return spark.read.parquet(stage_dir + "/data").drop("bucket")

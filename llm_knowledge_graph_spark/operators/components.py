@@ -191,4 +191,8 @@ def canonical_mapping(nodes: DataFrame, sim_edges: DataFrame,
         split_id.getItem(0).alias("type"),
         split_id.getItem(1).alias("id"),
         split_comp.getItem(1).alias("canonical_id"),
-    )
+        # identity rows (canonical targets mapping to themselves) are
+        # excluded so BOTH paths share one contract: aliases only
+        # ("absent id ⇒ identity"); the driver union-find path never
+        # emits roots, and rewrite_canonical re-adds targets itself
+    ).filter(F.col("id") != F.col("canonical_id"))

@@ -101,6 +101,12 @@ def minhash_lsh_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
     is identical to the all-pairs result — only redundant intra-group
     pairs (implied by transitivity through the representative) are
     omitted."""
+    # null-text rows participate in NO near-dup pairs: they would all
+    # share md5(NULL)=NULL in the collapse (spurious score-1.0 pairs) or
+    # the all-zero signature bucket in the base path (a D² candidate
+    # block that exact-verify then discards) — drop them up front so both
+    # paths agree
+    docs = docs.filter(F.col(text_col).isNotNull())
     rows = num_perm // bands
     if collapse_exact:
         reps, dups = collapse_to_reps(docs.select(key_col, text_col),
@@ -193,7 +199,9 @@ def simhash_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
     Exact duplicates collapse to a min-key representative first (same
     duplicate-heavy-bucket rationale as minhash_lsh_near_dups; identical
     texts share ALL bands): (rep, dup) pairs emit at hamming 0, linear in
-    group size."""
+    group size. Null-text rows are dropped up front (see
+    minhash_lsh_near_dups)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     if collapse_exact:
         reps, dups = collapse_to_reps(docs.select(key_col, text_col),
                                       key_col, text_col,

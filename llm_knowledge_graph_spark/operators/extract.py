@@ -52,8 +52,9 @@ def make_graphdoc_udf(with_embedding: bool = False,
             page=0, with_embedding=with_embedding,
         )
         if allowed_entities is not None or allowed_relationships is not None:
-            gd = strict_mode_filter(gd, allowed_entities or [],
-                                    allowed_relationships or [])
+            # None passes through as UNRESTRICTED for that dimension
+            gd = strict_mode_filter(gd, allowed_entities,
+                                    allowed_relationships)
         prefix = f"{url}#chunk_{chunk_id}"
         for n in gd["nodes"]:
             if n["type"] == "Chunk":

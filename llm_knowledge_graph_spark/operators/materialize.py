@@ -57,13 +57,11 @@ def graph_metrics(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         F.count("*").alias("n")).withColumn("kind", F.lit("nodes_by_type"))
     per_pred = edges.groupBy(F.col("pred").alias("key")).agg(
         F.count("*").alias("n")).withColumn("kind", F.lit("edges_by_pred"))
-    totals = per_type.sparkSession.createDataFrame(
-        [], "key string, n long, kind string")
     node_total = nodes.agg(F.count("*").alias("n")).select(
         F.lit("nodes").alias("key"), "n", F.lit("total").alias("kind"))
     edge_total = edges.agg(F.count("*").alias("n")).select(
         F.lit("edges").alias("key"), "n", F.lit("total").alias("kind"))
-    return (per_type.unionByName(per_pred).unionByName(totals)
+    return (per_type.unionByName(per_pred)
             .unionByName(node_total).unionByName(edge_total)
             .select("kind", "key", "n"))
 

@@ -116,6 +116,9 @@ def lsh_cosine_near_dup_pairs(embeddings: DataFrame,
     identically) collapse to a min-id representative first — they share
     EVERY table's bucket, so D copies would otherwise form D² candidates;
     (rep, dup) pairs emit at score 1.0, linear in group size."""
+    # null-vector rows participate in no pairs (they would form one giant
+    # NULL group in the collapse / a degenerate bucket in the base path)
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     if collapse_exact:
         from .dedup import collapse_to_reps
         # group key = the vector itself (exact, collision-free)
@@ -136,14 +139,21 @@ def lsh_cosine_near_dup_pairs(embeddings: DataFrame,
                             StructField("b", id_type),
                             StructField("score", DoubleType())]))
     dim = len(first[0])
-    buckets = [make_hyperplane_bucket_udf(dim, n_planes, seed=13 + t)
-               for t in range(n_tables)]
-    banded = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"), buckets[t](F.col(vec_col)).alias("h"))
-            for t in range(n_tables)])).alias("tb"),
-    ).select(id_col, vec_col, F.col("tb.t").alias("t"), F.col("tb.h").alias("h"))
+    # ONE array<int> UDF pass emits every table's bucket (same seed family
+    # 13+t as make_hyperplane_bucket_udf) — each vector crosses the Arrow
+    # boundary once, not n_tables times
+    buckets_udf = make_multitable_bucket_udf(dim, n_planes, seed=13,
+                                             n_tables=n_tables)
+    banded = (embeddings
+              .withColumn("_tb", buckets_udf(F.col(vec_col)))
+              .select(
+                  F.col(id_col), F.col(vec_col),
+                  F.explode(F.array(*[
+                      F.struct(F.lit(t).alias("t"),
+                               F.element_at(F.col("_tb"), t + 1).alias("h"))
+                      for t in range(n_tables)])).alias("tb"))
+              .select(id_col, vec_col, F.col("tb.t").alias("t"),
+                      F.col("tb.h").alias("h")))
     left = banded.select("t", "h", F.col(id_col).alias("a"),
                          F.col(vec_col).alias("va"))
     right = banded.select("t", "h", F.col(id_col).alias("b"),

@@ -80,7 +80,12 @@ def reconcile_entities(structured: DataFrame, semantic: DataFrame,
     s = structured.withColumn("source", F.lit("structured"))
     m = semantic.withColumn("source", F.lit("semantic"))
     both = s.unionByName(m)
+    # final tie-break: duplicate keys WITHIN one source must also pick a
+    # deterministic winner — order on the serialized full row (to_json
+    # handles map columns that xxhash64 cannot)
+    row_key = F.to_json(F.struct(*[F.col(c) for c in both.columns]))
     w = Window.partitionBy(*key_cols).orderBy(
-        F.when(F.col("source") == "structured", 0).otherwise(1), "source")
+        F.when(F.col("source") == "structured", 0).otherwise(1),
+        "source", row_key)
     return (both.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))

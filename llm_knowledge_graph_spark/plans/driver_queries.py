@@ -128,7 +128,10 @@ def q_user_sessions(spark, sf_dir):
     # casting to long would truncate micros while DuckDB epoch() keeps them
     sec = F.col("ts").cast("timestamp").cast("double")
     prev = F.lag(sec).over(w)
-    new_sess = F.when(prev.isNull() | ((sec - prev) > 1800.0), 1) \
+    # split at gap >= 1800s — ALIGNED with session_window's end-exclusive
+    # windows (an event exactly gap after the last starts a new session),
+    # so all three sessionization implementations share one semantics
+    new_sess = F.when(prev.isNull() | ((sec - prev) >= 1800.0), 1) \
         .otherwise(0)
     sess_id = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -145,10 +148,9 @@ def q_user_session_windows(spark, sf_dir):
     (merging event-time windows with a 30-min gap) instead of the
     hand-rolled lag/running-sum of q_user_sessions — both verify against
     one DuckDB oracle, so the two independent implementations and the
-    oracle must triple-agree. Boundary note: session_window treats a gap
-    of exactly 1800.000000s as a new session (window end exclusive), the
-    lag variant uses strictly-greater — indistinguishable on microsecond
-    timestamps."""
+    oracle must triple-agree (all three split at gap >= 30 min —
+    session_window windows are end-exclusive and the lag variants were
+    aligned to match)."""
     e = _t(spark, sf_dir, "events")
     sess = (e.groupBy(
         "user_id",
@@ -688,7 +690,7 @@ ORACLE_SQL: Dict[str, str] = {
         WITH flagged AS (
             SELECT user_id, event_id,
                    CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                             OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

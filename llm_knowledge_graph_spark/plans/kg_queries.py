@@ -18,12 +18,15 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig
 from . import queries as Q
 
-_CACHE: Dict[Tuple[int, int], object] = {}
+_CACHE: Dict[Tuple[object, int], object] = {}
 _CORPUS_PAGES = 150
 
 
 def _kg(spark: SparkSession, n_pages: int = _CORPUS_PAGES):
-    key = (id(spark), n_pages)
+    # key on the session OBJECT (held alive by the cache), not id(spark):
+    # a recycled address after a stopped session would alias the cache
+    # and hand out DataFrames bound to a dead SparkContext
+    key = (spark, n_pages)
     if key not in _CACHE:
         from ..plans.pipeline import build_kg
         from ..sources.pages import synthesize_pages

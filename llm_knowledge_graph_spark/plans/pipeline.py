@@ -72,7 +72,7 @@ def build_kg(spark: SparkSession, pages: DataFrame,
     if cfg.allowed_entities is not None or cfg.allowed_relationships is not None:
         nodes_raw, edges_raw = strict_filter(
             nodes_raw, edges_raw,
-            cfg.allowed_entities or [], cfg.allowed_relationships or [])
+            cfg.allowed_entities, cfg.allowed_relationships)
 
     # MERGE-dedup only what can actually collide: chunk nodes are unique by
     # construction (id = url#chunk_i) and HAS edges are unique per
@@ -151,11 +151,21 @@ def strict_filter(nodes_raw: DataFrame, edges_raw: DataFrame,
     """N9 strict-mode filter as DataFrame ops (ref _filter_by_strict_mode,
     code/pdf_graphrag.py:509-564): Chunk nodes and HAS edges are exempt
     (ref :539-541, :555-557); edges to dropped nodes are dropped via
-    per-chunk semi-joins."""
-    kept = nodes_raw.filter(
-        (F.col("type") == "Chunk") | F.col("type").isin(list(allowed_entities)))
-    e = edges_raw.filter(
-        (F.col("pred") == "HAS") | F.col("pred").isin(list(allowed_relationships)))
+    per-chunk semi-joins. A None list means UNRESTRICTED for that
+    dimension — passing only allowed_entities must not silently drop
+    every non-HAS relationship (and vice versa)."""
+    if allowed_entities is None:
+        kept = nodes_raw
+    else:
+        kept = nodes_raw.filter(
+            (F.col("type") == "Chunk")
+            | F.col("type").isin(list(allowed_entities)))
+    if allowed_relationships is None:
+        e = edges_raw
+    else:
+        e = edges_raw.filter(
+            (F.col("pred") == "HAS")
+            | F.col("pred").isin(list(allowed_relationships)))
     kn = kept.select("url", "chunk_id", F.col("id").alias("_kid"),
                      F.col("type").alias("_ktype"))
     e = e.join(kn, (e["url"] == kn["url"]) & (e["chunk_id"] == kn["chunk_id"])

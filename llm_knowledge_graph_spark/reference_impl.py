@@ -506,19 +506,24 @@ def build_graph_document(
 
 def strict_mode_filter(
     graph_doc: Dict[str, List[Dict[str, Any]]],
-    allowed_entities: List[str],
-    allowed_relationships: List[str],
+    allowed_entities: Optional[List[str]],
+    allowed_relationships: Optional[List[str]],
 ) -> Dict[str, List[Dict[str, Any]]]:
     """Keep nodes whose type ∈ allowed (Chunk always kept, ref :539-541);
     drop edges touching dropped nodes; keep rels whose pred ∈ allowed
-    (HAS always kept, ref :555-557)."""
-    allowed_n = set(allowed_entities)
+    (HAS always kept, ref :555-557). A None list means UNRESTRICTED for
+    that dimension (the config's two Optionals are independent) — an
+    empty list genuinely restricts to nothing."""
+    allowed_n = None if allowed_entities is None else set(allowed_entities)
     keep_nodes = [n for n in graph_doc["nodes"]
-                  if n["type"] == "Chunk" or n["type"] in allowed_n]
+                  if n["type"] == "Chunk"
+                  or allowed_n is None or n["type"] in allowed_n]
     kept_ids = {n["id"] for n in keep_nodes}
-    allowed_r = set(allowed_relationships)
+    allowed_r = (None if allowed_relationships is None
+                 else set(allowed_relationships))
     keep_edges = [e for e in graph_doc["edges"]
-                  if (e["pred"] == "HAS" or e["pred"] in allowed_r)
+                  if (e["pred"] == "HAS"
+                      or allowed_r is None or e["pred"] in allowed_r)
                   and e["subj"] in kept_ids and e["obj"] in kept_ids]
     return {"nodes": keep_nodes, "edges": keep_edges}
 

@@ -25,8 +25,10 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; cluster masters fall back to a sane default
+        # local[N] / local[N,maxFailures] → N; cluster masters and
+        # local[*] fall back to the cpu count
         n = master[master.find("[") + 1:master.find("]")] if "[" in master else ""
+        n = n.split(",")[0].strip()
         shuffle_partitions = cpus if n in ("", "*") else int(n)
 
     builder = (

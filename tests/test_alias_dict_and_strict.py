@@ -76,3 +76,28 @@ def test_pipeline_strict_mode(spark, pages_df):
     for r in res.edges.collect():
         assert (r.subj_type, r.subj) in node_keys
         assert (r.obj_type, r.obj) in node_keys
+
+
+def test_one_sided_strict_filter_leaves_other_dimension_unrestricted(
+        spark, pages_df):
+    """allowed_entities WITHOUT allowed_relationships must not drop every
+    non-HAS relationship (None = unrestricted, not empty = nothing)."""
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+
+    res = build_kg(spark, pages_df, PipelineConfig(
+        allowed_entities=["Person", "Organization", "Place",
+                          "Term", "Section"]))
+    preds = {r["pred"] for r in
+             res.canonical_edges.select("pred").distinct().collect()}
+    assert "HAS" in preds
+    assert len(preds - {"HAS"}) >= 3  # WORKS_FOR/FOUNDED/... survive
+
+    res2 = build_kg(spark, pages_df, PipelineConfig(
+        allowed_relationships=["WORKS_FOR", "FOUNDED"]))
+    types = {r["type"] for r in
+             res2.canonical_nodes.select("type").distinct().collect()}
+    assert {"Person", "Organization"} <= types  # nodes unrestricted
+    preds2 = {r["pred"] for r in
+              res2.canonical_edges.select("pred").distinct().collect()}
+    assert preds2 <= {"HAS", "WORKS_FOR", "FOUNDED"}

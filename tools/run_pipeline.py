@@ -100,7 +100,7 @@ def main() -> None:
                 or cfg.allowed_relationships is not None):
             nodes_raw, edges_raw = pipeline.strict_filter(
                 nodes_raw, edges_raw,
-                cfg.allowed_entities or [], cfg.allowed_relationships or [])
+                cfg.allowed_entities, cfg.allowed_relationships)
         chunk_has = (F.col("pred") == "HAS") & (F.col("subj_type") == "Chunk")
         from llm_knowledge_graph_spark.operators import (components, embed,
                                                          linking, merge,
