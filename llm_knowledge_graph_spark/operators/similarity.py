@@ -188,17 +188,20 @@ def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         sample_size: int = 2048,
                         n_iterations: int = 15) -> list:
-    """Deterministic spherical k-means on a bounded id-ordered sample.
+    """Deterministic spherical k-means on a bounded HASH-SAMPLED set.
 
-    Replaces the round-1 first-N-by-id 'training' (arbitrary cell sizes →
-    recall/pruning degrade on clustered data): init = evenly-spaced sample
-    points (spread across the id range), then Lloyd iterations with cosine
-    assignment and re-normalized mean centroids. Pure numpy on ≤sample_size
-    rows — deterministic (no RNG), executor-free. At scale the sample is a
-    hash-sampled collect and the final assignment is persisted as a `cell`
-    partition column."""
-    rows = (embeddings.orderBy(id_col).select(vec_col)
-            .limit(sample_size).collect())
+    The training rows are the first `sample_size` by xxhash64(id) — a
+    deterministic uniform sample of the WHOLE corpus, not an id prefix
+    (round-3 fix: crawl ids correlate with site/topic, so first-N-by-id
+    trained centroids on one slice of the distribution only; hash order
+    is distribution-blind). Init = evenly-spaced sample points, then Lloyd
+    iterations with cosine assignment and re-normalized mean centroids.
+    Pure numpy on ≤sample_size rows — deterministic (no RNG),
+    executor-free. At scale this is exactly the production shape (TABLESAMPLE
+    via hash is the same idea) and the final assignment is persisted as a
+    `cell` partition column."""
+    rows = (embeddings.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .select(vec_col).limit(sample_size).collect())
     if not rows:
         return []
     x = np.asarray([r[0] for r in rows], dtype=np.float64)

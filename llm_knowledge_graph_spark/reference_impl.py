@@ -545,10 +545,25 @@ def reference_pipeline(
     """pages: [{url, html(bytes|None), text(str|None), lang}] → {nodes, edges}
     with per-row lineage (url, chunk_id) on every edge, pre-entity-linking
     (exact (type,id) dedup only — the reference's MERGE semantics,
-    code/pdf_graphrag.py:277-300)."""
-    all_nodes: Dict[Tuple[str, str], Dict[str, Any]] = {}
-    all_edges: List[Dict[str, Any]] = []
-    seen_edge: set = set()
+    code/pdf_graphrag.py:277-300).
+
+    Property-merge semantics (round-3 fix): the reference applies
+    ``MERGE ... SET n += props`` / ``SET r += props`` once PER OCCURRENCE
+    (code/pdf_graphrag.py:287-296) — last-writer-wins per property key —
+    and the engine's documented ingestion order is sorted (url, chunk_id)
+    (operators/merge.py max_by over struct(url, chunk_id)). The oracle
+    therefore collects every occurrence and replays the property updates
+    in sorted (url, chunk_id) order, for NODES and EDGES alike. The old
+    oracle deduped edges first-wins and silently dropped later occurrences'
+    properties, diverging from both the reference and the engine (e.g. a
+    later ``since 2009`` mention never reached the merged edge). Lineage
+    is the first witness: min (url, chunk_id) over occurrences, matching
+    merge.py's ``min(struct(url, chunk_id))``.
+    """
+    # key -> ordered list of (url, chunk_id, properties) occurrences
+    node_occ: Dict[Tuple[str, str], List[Tuple[str, int, Dict[str, Any]]]] = {}
+    edge_occ: Dict[Tuple[str, str, str, str, str],
+                   List[Tuple[str, int, Dict[str, Any]]]] = {}
     for row in pages:
         if row.get("lang") not in SUPPORTED_LANGS:
             continue
@@ -562,17 +577,33 @@ def reference_pipeline(
             url = row["url"]
             for n in gd["nodes"]:
                 nid = f"{url}#chunk_{cid}" if n["type"] == "Chunk" else n["id"]
-                key = (n["type"], nid)
-                if key in all_nodes:
-                    all_nodes[key]["properties"].update(n["properties"])
-                else:
-                    all_nodes[key] = {"id": nid, "type": n["type"],
-                                      "properties": dict(n["properties"])}
+                node_occ.setdefault((n["type"], nid), []).append(
+                    (url, cid, n["properties"]))
             for e in gd["edges"]:
                 subj = f"{url}#{e['subj']}" if e["subj_type"] == "Chunk" else e["subj"]
                 ekey = (subj, e["subj_type"], e["pred"], e["obj"], e["obj_type"])
-                if ekey in seen_edge:
-                    continue
-                seen_edge.add(ekey)
-                all_edges.append({**e, "subj": subj, "url": url, "chunk_id": cid})
-    return {"nodes": list(all_nodes.values()), "edges": all_edges}
+                edge_occ.setdefault(ekey, []).append(
+                    (url, cid, e["properties"]))
+
+    def _merge(occs: List[Tuple[str, int, Dict[str, Any]]]):
+        """Last-writer-wins property replay in sorted (url, chunk_id) order
+        + first-witness lineage (the min occurrence)."""
+        ordered = sorted(occs, key=lambda t: (t[0], t[1]))
+        props: Dict[str, Any] = {}
+        for _u, _c, p in ordered:
+            props.update(p)
+        return props, ordered[0][0], ordered[0][1]
+
+    all_nodes: List[Dict[str, Any]] = []
+    for (ntype, nid), occs in node_occ.items():
+        props, _url, _cid = _merge(occs)
+        all_nodes.append({"id": nid, "type": ntype, "properties": props})
+    all_edges: List[Dict[str, Any]] = []
+    for (subj, subj_type, pred, obj, obj_type), occs in edge_occ.items():
+        props, url, cid = _merge(occs)
+        all_edges.append({
+            "subj": subj, "subj_type": subj_type, "pred": pred,
+            "obj": obj, "obj_type": obj_type, "properties": props,
+            "url": url, "chunk_id": cid,
+        })
+    return {"nodes": all_nodes, "edges": all_edges}

@@ -195,6 +195,46 @@ def test_ivf_ann_topk_recall(planted_embeddings):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_ivf_training_sample_is_id_blind(spark):
+    """Round-3 regression: ids correlate with cluster (crawl order ≈ site ≈
+    topic) — ids 0-999 are cluster A, 1000-1999 cluster B, and the training
+    sample (1000 rows) is HALF the corpus. The old orderBy(id).limit()
+    sample saw only cluster A, so no trained centroid pointed at B; the
+    xxhash64(id)-ordered sample is distribution-blind and must place
+    centroids in BOTH clusters. Recall on a B-cluster query must hold too."""
+    import math
+
+    import numpy as np
+
+    from llm_knowledge_graph_spark.operators.similarity import (
+        brute_force_topk, ivf_ann_topk, train_ivf_centroids)
+    rng = np.random.RandomState(11)
+    a_center, b_center = rng.randn(64), rng.randn(64)
+    rows = []
+    for i in range(1000):
+        rows.append((i, [float(x) for x in a_center + 0.15 * rng.randn(64)]))
+    for i in range(1000, 2000):
+        rows.append((i, [float(x) for x in b_center + 0.15 * rng.randn(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = train_ivf_centroids(df, n_centroids=8, sample_size=1000)
+
+    def cos(u, v):
+        u, v = np.asarray(u), np.asarray(v)
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    # at least one centroid deep inside EACH cluster (the id-prefix sample
+    # gives max cosine to b_center ≈ cos(a, b) ≈ 0 here)
+    assert max(cos(c, a_center) for c in cents) > 0.9
+    assert max(cos(c, b_center) for c in cents) > 0.9
+
+    qvec = [float(x) for x in b_center]
+    truth = {r.vec_id for r in brute_force_topk(df, qvec, k=10).collect()}
+    approx = {r.vec_id for r in
+              ivf_ann_topk(df, qvec, k=10, n_centroids=8, n_probe=4).collect()}
+    assert len(approx & truth) / len(truth) >= 0.9
+
+
 def test_ivf_centroids_deterministic_and_balanced(planted_embeddings):
     """Training is RNG-free: two runs give identical centroids; centroids
     are unit-norm and non-degenerate (more than one distinct cell used)."""

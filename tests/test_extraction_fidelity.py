@@ -59,15 +59,78 @@ def test_node_set_matches_oracle(kg_result, oracle_graph):
     assert predicted == golden
 
 
+def test_node_properties_match_oracle(kg_result, oracle_graph):
+    """Merged node properties must equal the oracle's last-writer-wins
+    (sorted (url, chunk_id) ingestion order) replay — for EVERY node,
+    including empty-props ones (round-3: the old `if gp:` guard masked
+    exactly the colliding-property divergence)."""
+    golden = {(n["type"], n["id"]): n["properties"]
+              for n in oracle_graph["nodes"]}
+    for r in kg_result.nodes.collect():
+        gp = golden.get((r.type, r.id))
+        assert gp is not None, (r.type, r.id)
+        assert dict(r.properties or {}) == gp, (r.type, r.id)
+
+
+def test_property_merge_order_regression(spark):
+    """Round-3 regression: colliding edge property across pages.
+
+    The reference applies `SET r += props` PER occurrence (last-writer-wins,
+    code/pdf_graphrag.py:287-296); the engine merges last-writer-wins in
+    sorted (url, chunk_id) order (operators/merge.py). The urls are chosen
+    so LEXICOGRAPHIC order differs from list order ("page10" < "page9"):
+    the last writer in sorted order is page9's `since 2001`. The old oracle
+    (first-wins edge dedup, later properties skipped) returned {} for this
+    edge and `2009` ordering under list-order replay — both wrong.
+    """
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+    from llm_knowledge_graph_spark.reference_impl import reference_pipeline
+    from llm_knowledge_graph_spark.sources.pages import PAGES_SCHEMA
+
+    pages = [
+        # list order: page9 first; sorted (url, chunk_id) order: page10 first
+        {"url": "https://x.org/page9", "warc_ts": None, "html": None,
+         "text": "John Doe works for Acme Corp since 2001.", "lang": "en"},
+        {"url": "https://x.org/page10", "warc_ts": None, "html": None,
+         "text": "John Doe works for Acme Corp since 2009.", "lang": "en"},
+        # an occurrence with NO property must not erase the merged value
+        {"url": "https://x.org/page99", "warc_ts": None, "html": None,
+         "text": "John Doe works for Acme Corp.", "lang": "en"},
+    ]
+    golden = reference_pipeline(pages)
+    g_edge = next(e for e in golden["edges"]
+                  if (e["subj"], e["pred"], e["obj"])
+                  == ("John Doe", "WORKS_FOR", "Acme Corp"))
+    # last writer in sorted (url, chunk_id) order is page9 → 2001;
+    # page99's property-less occurrence doesn't erase the key
+    assert g_edge["properties"] == {"sinceYear": "2001"}
+    # first witness = min (url, chunk_id) = page10
+    assert g_edge["url"] == "https://x.org/page10"
+
+    res = build_kg(spark, spark.createDataFrame(pages, PAGES_SCHEMA),
+                   PipelineConfig())
+    row = (res.edges.filter((F.col("subj") == "John Doe")
+                            & (F.col("pred") == "WORKS_FOR")).collect())
+    assert len(row) == 1
+    assert dict(row[0].properties) == {"sinceYear": "2001"}
+    assert (row[0].url, row[0].chunk_id) == (g_edge["url"], g_edge["chunk_id"])
+
+
 def test_edge_properties_and_lineage(kg_result, oracle_graph):
-    """Property merge and (url, chunk_id) lineage survive the Spark path."""
-    golden_props = {
-        (e["subj"], e["pred"], e["obj"]): e["properties"]
+    """Property merge and (url, chunk_id) lineage survive the Spark path.
+    Every engine edge must have a golden twin (no `if gp:` truthiness
+    skip — empty property dicts are compared too), with identical merged
+    properties AND identical first-witness min-(url, chunk_id) lineage."""
+    golden = {
+        (e["subj"], e["pred"], e["obj"]):
+            (e["properties"], e["url"], e["chunk_id"])
         for e in oracle_graph["edges"]
     }
     for r in kg_result.edges.collect():
         assert r.url is not None and r.chunk_id is not None
         key = (r.subj, r.pred, r.obj)
-        gp = golden_props.get(key)
-        if gp:
-            assert dict(r.properties or {}) == gp, key
+        gp = golden.get(key)
+        assert gp is not None, key
+        assert dict(r.properties or {}) == gp[0], key
+        assert (r.url, r.chunk_id) == (gp[1], gp[2]), key
