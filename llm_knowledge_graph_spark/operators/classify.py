@@ -27,12 +27,57 @@ DEFAULT_RULES: List[Tuple[str, str]] = [
 ]
 DEFAULT_CATEGORY = "General"
 
+# Reference-taxonomy rulesets (round 3): deterministic keyword rules whose
+# CATEGORY LABELS are the reference's real taxonomies — legislation types
+# from code/assets/TYP_PREDPISU.md and top-level legal areas from
+# code/assets/CLENENIE_PRAVA.md (the taxonomies the classification prompt
+# code/prompts.py:140-166 feeds the LLM). Keywords are the type words /
+# area markers as they appear in statute text, multi-word forms first
+# (precedence: "ústavný zákon" must not fall through to "zákon").
+LEGISLATION_RULES: List[Tuple[str, str]] = [
+    ("ústavný zákon", "Ústavný zákon"),
+    ("nariadenie vlády", "Nariadenie vlády"),
+    ("zákon", "Zákon"),
+    ("vyhláška", "Vyhláška"),
+    ("nariadenie", "Nariadenie"),
+    ("smernica", "Smernica"),
+    ("rozhodnutie", "Rozhodnutie"),
+    ("uznesenie", "Uznesenie"),
+    ("opatrenie", "Opatrenie"),
+    ("oznámenie", "Oznámenie"),
+    ("dohoda", "Dohoda"),
+    ("zmluva", "Zmluva"),
+]
+LEGAL_AREA_RULES: List[Tuple[str, str]] = [
+    ("daň", "Finančné právo"),
+    ("dane", "Finančné právo"),
+    ("rozpočt", "Finančné právo"),
+    ("bank", "Finančné právo"),
+    ("obstarávan", "Hospodárske právo"),
+    ("privatizáci", "Hospodárske právo"),
+    ("medzinárodn", "Medzinárodné právo"),
+    ("obchodn", "Obchodné právo"),
+    ("občiansk", "Občianske právo"),
+    ("pracovn", "Pracovné právo"),
+    ("európsk", "Právo EÚ"),
+    ("sociálne", "Právo sociálneho zabezpečenia"),
+    ("správn", "Správne právo"),
+    ("trestn", "Trestné právo"),
+    ("ústavn", "Ústavné právo"),
+    ("vojensk", "Vojenské právo"),
+]
+
 
 def keyword_classify(df: DataFrame, text_col: str = "text",
                      rules: List[Tuple[str, str]] = DEFAULT_RULES,
-                     default: str = DEFAULT_CATEGORY) -> DataFrame:
-    """Adds `doc_type` (first matching rule) and `confidence` (matched-
-    keyword occurrences, capped at 100; 0 for the default class)."""
+                     default: str = DEFAULT_CATEGORY,
+                     out_type_col: str = "doc_type",
+                     out_conf_col: str = "confidence") -> DataFrame:
+    """Adds `out_type_col` (first matching rule) and `out_conf_col`
+    (matched-keyword occurrences, capped at 100; 0 for the default class).
+    Parameterized by ruleset — DEFAULT_RULES for the driver's bag-of-words
+    fixture, LEGISLATION_RULES / LEGAL_AREA_RULES for the reference's real
+    taxonomies (classify_reference_taxonomy)."""
     import re as _re
     t = F.col(text_col)
     doc_type = F.lit(default)
@@ -48,5 +93,26 @@ def keyword_classify(df: DataFrame, text_col: str = "text",
         confidence = F.when(t.contains(kw),
                             F.least(hits.cast("int"), F.lit(100))) \
             .otherwise(confidence)
-    return df.withColumn("doc_type", doc_type) \
-             .withColumn("confidence", confidence)
+    return df.withColumn(out_type_col, doc_type) \
+             .withColumn(out_conf_col, confidence)
+
+
+def classify_reference_taxonomy(df: DataFrame,
+                                text_col: str = "text") -> DataFrame:
+    """E11 in the reference's OWN response shape (code/prompts.py:140-166:
+    {type_legislation, type_category}, each a name + 0-100 confidence):
+    two keyword-rule passes over lowercased text against the two reference
+    taxonomies. Adds type_legislation / leg_confidence / type_category /
+    cat_confidence; default class '(Ostatné)' is TYP_PREDPISU.md's own
+    catch-all bucket. One CASE chain per dimension — pure codegen."""
+    lowered = "_lc_" + text_col
+    out = df.withColumn(lowered, F.lower(F.col(text_col)))
+    out = keyword_classify(out, lowered, LEGISLATION_RULES,
+                           default="(Ostatné)",
+                           out_type_col="type_legislation",
+                           out_conf_col="leg_confidence")
+    out = keyword_classify(out, lowered, LEGAL_AREA_RULES,
+                           default="(Ostatné)",
+                           out_type_col="type_category",
+                           out_conf_col="cat_confidence")
+    return out.drop(lowered)

@@ -18,8 +18,11 @@ SAME pattern strings run under DuckDB in the driver's oracle.
 
 The reference resolves PERSON/ORG/DATE/MONEY via spaCy's statistical NER
 (ref :189-202); per the north rule those are replaced by deterministic
-patterns — dates and amounts port exactly (format-driven), parties ride
-the main extractor's SVO name matching (operators/extract.py).
+patterns — dates and amounts port exactly (format-driven), and parties
+(ref :189-197 PERSON/ORG) get dedicated recital patterns (round 3):
+the "between X and Y" contract recital plus "Party:/Client:/Vendor: NAME"
+designation clauses (extract_parties below). The SVO name matching in
+operators/extract.py still covers parties in running prose.
 """
 
 from __future__ import annotations
@@ -39,6 +42,13 @@ DEFINITION_RE = r'(?i)"([^"]+)"\s+(?:means?|refers? to|is defined as)\s+([^.]+\.
 SECTION_RE = r"(?:Section|Article|§)\s+(\d+(?:\.\d+)*)[:.]?\s*([^\n]+)"
 # sentence boundary WITHOUT lookbehind (RE2 has none): consume '.' + space
 SENT_SPLIT_RE = r"\.\s+"
+# party recital "between X and Y" — a name is capitalized words; 'and' is
+# lowercase so it can never be swallowed into the first name (RE2-safe,
+# no backrefs). ref :189-197 (spaCy PERSON/ORG party resolution).
+PARTY_BETWEEN_RE = (r"between\s+([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)*)"
+                    r"\s+and\s+([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)*)")
+# designation clause "Party:/Client:/Vendor: NAME"
+PARTY_NAMED_RE = r"(?:Party|Client|Vendor):\s+([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)*)"
 
 
 def _extract_all(text_col, pattern: str, group: int = 0):
@@ -108,6 +118,28 @@ def extract_sections(df: DataFrame, text_col: str = "text",
         F.regexp_extract(t, SECTION_RE, 1).alias("sec_number"),
         F.regexp_extract(t, SECTION_RE, 2).alias("sec_title"),
     ).filter(F.col("sec_number") != ""))
+
+
+def extract_parties(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """→ (id, role, party): E9 party extraction — deterministic stand-in
+    for the reference's spaCy PERSON/ORG party resolution (ref :189-197).
+    PARTY_A/PARTY_B from the first "between X and Y" recital, NAMED from
+    the first "Party:/Client:/Vendor: NAME" designation. Pure regexp
+    codegen; UNION ALL of three one-group extracts (each ANSI-mirrorable,
+    empty extracts filtered)."""
+    t = F.col(text_col)
+
+    def one(role: str, pattern: str, group: int) -> DataFrame:
+        return (df.select(
+            F.col(id_col),
+            F.lit(role).alias("role"),
+            F.regexp_extract(t, pattern, group).alias("party"))
+            .filter(F.col("party") != ""))
+
+    return (one("PARTY_A", PARTY_BETWEEN_RE, 1)
+            .unionAll(one("PARTY_B", PARTY_BETWEEN_RE, 2))
+            .unionAll(one("NAMED", PARTY_NAMED_RE, 1)))
 
 
 def extract_dates_amounts(df: DataFrame, text_col: str = "text",

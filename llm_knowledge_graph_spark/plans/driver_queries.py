@@ -482,14 +482,26 @@ def q_ship_delay_stats(spark, sf_dir):
 # All extractors are pure JVM regexp expressions (operators/legal_ner.py).
 # ---------------------------------------------------------------------------
 
+_PARTY_A = ["Acme Corp", "Globex Inc", "Initech Ltd", "Umbrella Co"]
+_PARTY_B = ["Stark Industries", "Wayne Enterprises", "Hooli Inc"]
+
+
 def _synth_legal_text() -> F.Column:
     """Deterministic legal sentence bundle per doc_id: one section header
-    line, a statute obligation, a rotating shall/shall-not/may clause, case
-    + CFR citations, and a definition carrying an ISO date and an amount."""
+    line, a statute obligation, a rotating shall/shall-not/may clause, a
+    party recital + designation (round 3, E9 parties), case + CFR
+    citations, and a definition carrying an ISO date and an amount."""
     d = F.col("doc_id")
 
     def s(e):
         return e.cast("string")
+
+    party_a = F.lit(_PARTY_A[0])
+    for i, p in enumerate(_PARTY_A[1:], start=1):
+        party_a = F.when(d % 4 == i, F.lit(p)).otherwise(party_a)
+    party_b = F.lit(_PARTY_B[0])
+    for i, p in enumerate(_PARTY_B[1:], start=1):
+        party_b = F.when(d % 3 == i, F.lit(p)).otherwise(party_b)
 
     return F.concat(
         F.lit("Section "), s(d % 40 + 1), F.lit(": Delivery Terms for lot "),
@@ -499,6 +511,8 @@ def _synth_legal_text() -> F.Column:
         F.when(d % 3 == 0, F.lit("The buyer shall not disclose pricing terms. "))
          .when(d % 3 == 1, F.lit("The buyer may inspect all goods. "))
          .otherwise(F.lit("The parties shall meet quarterly. ")),
+        F.lit("This agreement is between "), party_a, F.lit(" and "),
+        party_b, F.lit(". Vendor: "), party_b, F.lit(". "),
         F.lit("See "), s(d % 500 + 1), F.lit(" F.3d "), s(d % 900 + 10),
         F.lit(" and "), s(d % 50 + 1), F.lit(" CFR 1910."), s(d % 10),
         F.lit(". "),
@@ -518,6 +532,20 @@ _LEGAL_TEXT_SQL = """
     || CASE WHEN doc_id % 3 = 0 THEN 'The buyer shall not disclose pricing terms. '
             WHEN doc_id % 3 = 1 THEN 'The buyer may inspect all goods. '
             ELSE 'The parties shall meet quarterly. ' END
+    || 'This agreement is between '
+    || CASE WHEN doc_id % 4 = 1 THEN 'Globex Inc'
+            WHEN doc_id % 4 = 2 THEN 'Initech Ltd'
+            WHEN doc_id % 4 = 3 THEN 'Umbrella Co'
+            ELSE 'Acme Corp' END
+    || ' and '
+    || CASE WHEN doc_id % 3 = 1 THEN 'Wayne Enterprises'
+            WHEN doc_id % 3 = 2 THEN 'Hooli Inc'
+            ELSE 'Stark Industries' END
+    || '. Vendor: '
+    || CASE WHEN doc_id % 3 = 1 THEN 'Wayne Enterprises'
+            WHEN doc_id % 3 = 2 THEN 'Hooli Inc'
+            ELSE 'Stark Industries' END
+    || '. '
     || 'See ' || CAST(doc_id % 500 + 1 AS VARCHAR)
     || ' F.3d ' || CAST(doc_id % 900 + 10 AS VARCHAR)
     || ' and ' || CAST(doc_id % 50 + 1 AS VARCHAR)
@@ -562,6 +590,15 @@ def q_legal_sections(spark, sf_dir):
     from ..operators import legal_ner
     return (legal_ner.extract_sections(_legal_docs(spark, sf_dir, 60))
             .orderBy("doc_id"))
+
+
+def q_legal_parties(spark, sf_dir):
+    """E9 (round 3): party extraction — the 'between X and Y' recital +
+    'Vendor: NAME' designation (deterministic stand-in for the reference's
+    spaCy PERSON/ORG party resolution, ref :189-197)."""
+    from ..operators import legal_ner
+    return (legal_ner.extract_parties(_legal_docs(spark, sf_dir, 80))
+            .orderBy("doc_id", "role", "party"))
 
 
 def q_legal_dates_amounts(spark, sf_dir):
@@ -988,6 +1025,31 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT doc_id, sec_number, sec_title FROM d
         WHERE sec_number <> '' ORDER BY doc_id
     """,
+    "legal_parties": """
+        WITH lt AS (SELECT doc_id, {legal_text} AS text
+                    FROM documents WHERE doc_id < 80),
+        p AS (
+            SELECT doc_id, 'PARTY_A' AS role,
+                   regexp_extract(text,
+                       'between\\s+([A-Z][A-Za-z]+(?:\\s+[A-Z][A-Za-z]+)*)\\s+and\\s+([A-Z][A-Za-z]+(?:\\s+[A-Z][A-Za-z]+)*)',
+                       1) AS party
+            FROM lt
+            UNION ALL
+            SELECT doc_id, 'PARTY_B',
+                   regexp_extract(text,
+                       'between\\s+([A-Z][A-Za-z]+(?:\\s+[A-Z][A-Za-z]+)*)\\s+and\\s+([A-Z][A-Za-z]+(?:\\s+[A-Z][A-Za-z]+)*)',
+                       2)
+            FROM lt
+            UNION ALL
+            SELECT doc_id, 'NAMED',
+                   regexp_extract(text,
+                       '(?:Party|Client|Vendor):\\s+([A-Z][A-Za-z]+(?:\\s+[A-Z][A-Za-z]+)*)',
+                       1)
+            FROM lt
+        )
+        SELECT doc_id, role, party FROM p
+        WHERE party <> '' ORDER BY doc_id, role, party
+    """,
     "legal_dates_amounts": """
         WITH lt AS (SELECT doc_id, {legal_text} AS text
                     FROM documents WHERE doc_id < 60)
@@ -1048,7 +1110,7 @@ ORACLE_SQL["events_stream_sessions"] = ORACLE_SQL["user_sessions"]
 # splice the shared legal-text synthesis into the legal oracles ({{ }} in
 # those templates escape literal regex braces for .format)
 for _name in ("legal_citations", "legal_obligations", "legal_definitions",
-              "legal_sections", "legal_dates_amounts"):
+              "legal_sections", "legal_parties", "legal_dates_amounts"):
     ORACLE_SQL[_name] = ORACLE_SQL[_name].format(legal_text=_LEGAL_TEXT_SQL)
 
 
@@ -1085,6 +1147,7 @@ SQL_QUERIES: Dict[str, Callable] = {
     "legal_obligations": q_legal_obligations,
     "legal_definitions": q_legal_definitions,
     "legal_sections": q_legal_sections,
+    "legal_parties": q_legal_parties,
     "legal_dates_amounts": q_legal_dates_amounts,
     "doc_classification": q_doc_classification,
     "events_hourly_stream_counts": q_events_hourly_stream_counts,

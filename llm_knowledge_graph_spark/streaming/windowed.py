@@ -87,12 +87,43 @@ def session_counts_stream(events_stream: DataFrame,
 
 
 _FIRST_SEEN_OUT = "key string, doc_id long, digest string"
-_FIRST_SEEN_STATE = "seen array<string>"
+# packed binary blob of fixed-width md5 digests (16 bytes each) — 2x
+# smaller than the round-2 array<string> of hex digests and, critically,
+# APPEND-ONLY: each batch appends only the delta, never re-sorts or
+# rewrites the existing bytes (merge_first_seen is the pure core)
+_FIRST_SEEN_STATE = "seen binary"
+_DIGEST_W = 16
+
+
+def merge_first_seen(seen_blob: bytes,
+                     rows: Iterable[Tuple[int, str]]):
+    """Pure core of the stateful dedup: (state_blob, [(doc_id, hex_digest)])
+    → (new_blob, first_seen_rows).
+
+    The blob is a concatenation of fixed-width (16-byte) md5 digests in
+    first-seen order. New digests are APPENDED — the existing prefix is
+    byte-identical in the output (delta-append: per-batch state growth is
+    exactly 16 * n_new bytes, asserted in tests), so quiet batches cost a
+    set-build but no reordering/rewriting of prior state, and the caller
+    can skip state.update entirely when the blob is unchanged.
+    "min doc_id wins per digest" holds batch-wide (rows sorted by doc_id).
+    """
+    seen = {seen_blob[i:i + _DIGEST_W]
+            for i in range(0, len(seen_blob), _DIGEST_W)}
+    delta = bytearray()
+    emitted = []
+    for doc_id, dg in sorted(rows, key=lambda t: t[0]):
+        raw = bytes.fromhex(dg)
+        if raw not in seen:
+            seen.add(raw)
+            delta += raw
+            emitted.append((int(doc_id), dg))
+    return bytes(seen_blob) + bytes(delta), emitted
 
 
 def _first_seen_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterable[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
+    blob = bytes(state.get[0]) if state.exists else b""
     # accumulate ALL Arrow chunks of this group's micro-batch BEFORE
     # sorting: a group larger than arrow.maxRecordsPerBatch arrives as
     # multiple frames, and sorting per-frame would let a later-chunk
@@ -101,16 +132,34 @@ def _first_seen_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
     rows: list = []
     for pdf in pdfs:
         rows.extend(zip(pdf["doc_id"], pdf["digest"]))
-    out_key: list = []
-    out_id: list = []
-    out_dg: list = []
-    for doc_id, dg in sorted(rows, key=lambda t: t[0]):
-        if dg not in seen:
-            seen.add(dg)
-            out_key.append(key[0]); out_id.append(int(doc_id))
-            out_dg.append(dg)
-    state.update((sorted(seen),))
-    yield pd.DataFrame({"key": out_key, "doc_id": out_id, "digest": out_dg})
+    new_blob, emitted = merge_first_seen(blob, rows)
+    if len(new_blob) != len(blob):  # quiet shard → no state rewrite at all
+        state.update((new_blob,))
+    yield pd.DataFrame({"key": [key[0]] * len(emitted),
+                        "doc_id": [i for i, _ in emitted],
+                        "digest": [d for _, d in emitted]})
+
+
+def first_seen_prefix_len(corpus_digests: int,
+                          target_state_per_key: int = 100_000) -> int:
+    """Sizing rule for `streaming_first_seen`'s shard count: the smallest
+    prefix_len with expected digests-per-shard ≤ target (shards are the
+    16^prefix_len uniform md5 prefixes). target=100k digests ≈ 1.6 MB of
+    packed state per key — a comfortable per-batch (de)serialize unit.
+
+        corpus digests   prefix_len   shards      digests/shard
+        1e6              1            16           62.5k
+        1e8              2            256          390k → 3 (4096, 24k)
+        1e9              3            4096         244k → 4 (65536, 15k)
+        1e12             5            1,048,576    ~954k → 6 (16.7M, 60k)
+
+    (At 10^12 docs the state store itself would be RocksDB-backed; the
+    shard count only needs to keep each key's blob bounded.)
+    """
+    n = 1
+    while corpus_digests / (16 ** n) > target_state_per_key and n < 16:
+        n += 1
+    return n
 
 
 def streaming_first_seen(docs_stream: DataFrame,
@@ -119,7 +168,11 @@ def streaming_first_seen(docs_stream: DataFrame,
                          prefix_len: int = 2) -> DataFrame:
     """Streaming exact dedup: emit only the first occurrence of each text
     digest. State shards on the digest prefix (uniform 16^prefix_len
-    keys); within a key the state is the digest set."""
+    keys); within a key the state is an append-only packed-binary digest
+    blob (see merge_first_seen — per-batch growth is exactly the delta;
+    unchanged shards skip the state write). Size prefix_len with
+    `first_seen_prefix_len(expected_corpus_digests)` — the round-2 default
+    of 2 (256 shards) is right for ~10^7-10^8 digests."""
     keyed = docs_stream.select(
         F.substring(F.md5(F.col(text_col)), 1, prefix_len).alias("key"),
         F.col(id_col).alias("doc_id"),

@@ -39,3 +39,28 @@ def test_format_response_shapes(spark):
     out3 = format_response("anything", [{"id": "X"}], "general")
     assert out3.startswith("Based on the legal documents")
     assert "1. {'id': 'X'}" in out3
+
+
+def test_reference_taxonomy_classifier(spark):
+    """E11 with the reference's REAL taxonomies (TYP_PREDPISU.md legislation
+    types, CLENENIE_PRAVA.md legal areas; response shape code/prompts.py
+    :140-166): both dimensions classified, multi-word precedence holds
+    ('Ústavný zákon' must not fall through to 'Zákon'), default is the
+    taxonomy's own '(Ostatné)' bucket."""
+    from llm_knowledge_graph_spark.operators.classify import (
+        classify_reference_taxonomy)
+    df = spark.createDataFrame([
+        (0, "Zákon č. 595/2003 Z. z. o dani z príjmov upravuje dane."),
+        (1, "Ústavný zákon č. 460/1992 Zb. Ústava Slovenskej republiky."),
+        (2, "Vyhláška ministerstva o trestnom konaní."),
+        (3, "completely unrelated english text"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["type_legislation"], r["type_category"],
+                         r["leg_confidence"], r["cat_confidence"])
+           for r in classify_reference_taxonomy(df).collect()}
+    assert got[0][0] == "Zákon" and got[0][1] == "Finančné právo"
+    assert got[0][2] >= 1 and got[0][3] >= 1
+    assert got[1][0] == "Ústavný zákon"      # precedence over 'zákon'
+    assert got[1][1] == "Ústavné právo"      # 'ústavn' area marker
+    assert got[2][0] == "Vyhláška" and got[2][1] == "Trestné právo"
+    assert got[3] == ("(Ostatné)", "(Ostatné)", 0, 0)

@@ -73,3 +73,22 @@ def test_dates_and_amounts(spark, legal_df):
     assert rows[2]["eff_date"] == "2026-03-15"
     assert rows[2]["amount"] == "$1,250.00"
     assert rows[3]["eff_date"] == "" and rows[3]["amount"] == ""
+
+
+def test_party_extraction(spark):
+    """E9 parties (round 3): 'between X and Y' recital + designation
+    clauses (deterministic stand-in for ref :189-197 spaCy PERSON/ORG)."""
+    from llm_knowledge_graph_spark.operators.legal_ner import extract_parties
+    df = spark.createDataFrame([
+        (0, "This agreement is between Acme Corp and Stark Industries. "
+            "Vendor: Hooli Inc."),
+        (1, "Party: Jane Smith shall sign. Client: Initech Ltd agrees."),
+        (2, "nothing between us and them here"),  # lowercase → no match
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["role"], r["party"])
+           for r in extract_parties(df).collect()}
+    assert (0, "PARTY_A", "Acme Corp") in got
+    assert (0, "PARTY_B", "Stark Industries") in got
+    assert (0, "NAMED", "Hooli Inc") in got
+    assert (1, "NAMED", "Jane Smith") in got
+    assert not any(d == 2 for d, _, _ in got)

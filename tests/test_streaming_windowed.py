@@ -70,3 +70,63 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     assert all(len(v) == 1 for v in by_digest.values()), by_digest
     emitted_ids = sorted(r["doc_id"] for r in rows)
     assert emitted_ids == [0, 1, 4]  # 2, 3 (dups of 0) and 5 (dup of 1) suppressed
+
+
+def test_merge_first_seen_delta_append():
+    """Round-3 state-churn bound: the packed-binary state blob grows by
+    EXACTLY 16 bytes per new digest and the existing prefix is
+    byte-identical (append-only — no per-batch re-sort/rewrite of prior
+    state), duplicates emit nothing, min doc_id wins within a batch."""
+    import hashlib
+
+    from llm_knowledge_graph_spark.streaming.windowed import merge_first_seen
+
+    def dg(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    blob1, out1 = merge_first_seen(b"", [(5, dg("a")), (1, dg("b")),
+                                         (3, dg("a"))])
+    # min doc_id wins per digest, emission ordered by doc_id
+    assert out1 == [(1, dg("b")), (3, dg("a"))]
+    assert len(blob1) == 32
+    # batch 2: one dup (no growth from it), one new digest
+    blob2, out2 = merge_first_seen(blob1, [(7, dg("b")), (9, dg("c"))])
+    assert out2 == [(9, dg("c"))]
+    assert len(blob2) == len(blob1) + 16          # delta-append growth only
+    assert blob2[:len(blob1)] == blob1            # prior state untouched
+    # batch 3: all dups → blob unchanged (caller skips state.update)
+    blob3, out3 = merge_first_seen(blob2, [(11, dg("a")), (12, dg("c"))])
+    assert out3 == [] and blob3 == blob2
+
+
+def test_streaming_first_seen_wider_prefix(spark, tmp_path):
+    """The prefix_len sizing knob: prefix_len=3 (4096 shards) must preserve
+    cross-batch suppression semantics, and first_seen_prefix_len encodes
+    the documented sizing rule."""
+    import os
+
+    from llm_knowledge_graph_spark.streaming.windowed import (
+        first_seen_prefix_len, streaming_first_seen)
+    assert first_seen_prefix_len(10**6) == 1
+    assert first_seen_prefix_len(10**9) == 4
+    assert first_seen_prefix_len(10**12) == 6
+
+    src_dir = str(tmp_path / "docs_stream3")
+    os.makedirs(src_dir, exist_ok=True)
+    spark.createDataFrame([(0, "alpha"), (1, "beta")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.parquet(f"{src_dir}/f1")
+    spark.createDataFrame([(2, "alpha"), (3, "gamma")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.parquet(f"{src_dir}/f2")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src_dir}/*"))
+    out = streaming_first_seen(stream, prefix_len=3)
+    q = (out.writeStream.format("memory").queryName("first_seen3")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .trigger(availableNow=True).start())
+    _drain(q)
+    rows = spark.table("first_seen3").collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 3]
+    assert all(len(r["key"]) == 3 for r in rows)
