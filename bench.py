@@ -37,11 +37,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        """min-of-N in-process repeats (round 3): the host drifts 25-40%
+        minute-to-minute and the first measurement carries JIT/page-cache
+        warmup — the per-query MIN is the stable cross-round signal. The
+        SQL cache is cleared between repeats (CacheManager silently reuses
+        identical plans, which would make repeats 2..N no-ops)."""
+        ts = []
+        for _ in range(n_repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            ts.append(round(time.perf_counter() - t0, 3))
+        samples[name] = ts
+        timings[name] = min(ts)
 
     # flagship: full KG construction over a corpus scaled with sf
     n_pages = max(400, int(20000 * sf))
@@ -84,7 +96,9 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,          # per-query MIN of n_repeats
+        "n_repeats": n_repeats,
+        "samples": samples,          # every repeat, for drift inspection
         "sf": sf,
         "cpus": cpus,
         "kg_pages": n_pages,

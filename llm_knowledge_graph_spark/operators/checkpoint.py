@@ -39,12 +39,17 @@ def _manifest_path(base: str, run_id: str, stage: str) -> str:
     return os.path.join(base, run_id, stage, MANIFEST)
 
 
-def completed_buckets(base: str, run_id: str, stage: str) -> List[int]:
+def read_manifest(base: str, run_id: str, stage: str) -> dict | None:
     path = _manifest_path(base, run_id, stage)
     if not os.path.exists(path):
-        return []
+        return None
     with open(path) as f:
-        return sorted(json.load(f).get("completed", []))
+        return json.load(f)
+
+
+def completed_buckets(base: str, run_id: str, stage: str) -> List[int]:
+    m = read_manifest(base, run_id, stage)
+    return sorted(m.get("completed", [])) if m else []
 
 
 def _mark_completed(base: str, run_id: str, stage: str, buckets: List[int],
@@ -79,7 +84,22 @@ def run_stage_resumable(
     Returns the stage output for ALL buckets (checkpointed ∪ fresh).
     """
     stage_dir = os.path.join(base, run_id, stage)
-    done = set(completed_buckets(base, run_id, stage))
+    manifest = read_manifest(base, run_id, stage)
+    if manifest is not None:
+        # fail FAST on parameter drift: pending buckets derive from
+        # range(n_buckets) and row→bucket mapping from (key_col, n_buckets);
+        # resuming with different values would silently mismatch the
+        # completed-bucket list, and the torn-state repair below would then
+        # DELETE bucket dirs it wrongly considers pending
+        m_nb = manifest.get("n_buckets")
+        m_kc = manifest.get("key_col")
+        if m_nb is not None and (m_nb, m_kc) != (n_buckets, key_col):
+            raise ValueError(
+                f"checkpoint resume mismatch for {stage_dir}: manifest was "
+                f"written with n_buckets={m_nb}, key_col={m_kc!r} but this "
+                f"invocation uses n_buckets={n_buckets}, key_col={key_col!r}"
+            )
+    done = set(manifest.get("completed", [])) if manifest else set()
     pending = [b for b in range(n_buckets) if b not in done]
 
     # torn-state repair: a crash AFTER the parquet append but BEFORE the
@@ -111,7 +131,9 @@ def run_stage_resumable(
             # parquet schema inference (which throws when the stage
             # produced no part files at all)
             _mark_completed(base, run_id, stage, group,
-                            extra={"schema": out_schema_json})
+                            extra={"schema": out_schema_json,
+                                   "n_buckets": n_buckets,
+                                   "key_col": key_col})
             group = []
 
     if out_schema_json is None:  # fully resumed: schema from the manifest

@@ -445,6 +445,40 @@ def q_doc_classification(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# statute-style Slovak synthesis for the taxonomy classifier (all-lowercase
+# so unicode lower() is identity on both engines); each line carries one
+# legislation-type keyword and one legal-area marker from the reference
+# taxonomies (code/assets/TYP_PREDPISU.md, CLENENIE_PRAVA.md)
+_TAXONOMY_TEXTS = [
+    "zákon o dani z príjmov upravuje dane a správu daní.",
+    "ústavný zákon o ústavnom súde slovenskej republiky.",
+    "vyhláška ministerstva spravodlivosti o trestnom konaní.",
+    "nariadenie vlády o bankách a dohľade nad bankami.",
+    "zmluva o medzinárodnom obchode medzi zmluvnými stranami.",
+]
+
+
+def q_doc_taxonomy_classification(spark, sf_dir):
+    """E11 against the reference's REAL taxonomies, ORACLED (round 3):
+    deterministic statute-style synthesis per doc_id (identical CASE on
+    both engines), classified by classify_reference_taxonomy into the
+    reference's response shape {type_legislation, type_category} + 0-100
+    confidences (ref code/prompts.py:140-166). The oracle's CASE chains
+    are GENERATED from the same LEGISLATION_RULES / LEGAL_AREA_RULES
+    lists (see _taxonomy_case_sql), so rule precedence and occurrence
+    counting are verified value-exact, not re-hand-written."""
+    from ..operators.classify import classify_reference_taxonomy
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    t = F.lit(_TAXONOMY_TEXTS[0])
+    for i, s in enumerate(_TAXONOMY_TEXTS[1:], start=1):
+        t = F.when(F.col("doc_id") % 5 == i, F.lit(s)).otherwise(t)
+    d = d.select("doc_id", t.alias("text"))
+    return (classify_reference_taxonomy(d)
+            .select("doc_id", "type_legislation", "leg_confidence",
+                    "type_category", "cat_confidence")
+            .orderBy("doc_id"))
+
+
 def q_orders_monthly_revenue(spark, sf_dir):
     """Date-function surface (year/month bucketing — SURVEY §2.8 date/math):
     monthly revenue in exact integer cents."""
@@ -647,14 +681,28 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_label_centroid_norms(spark, sf_dir):
-    """Per-label centroid computation via posexplode + avg — array agg
-    exercise; exact output via rounding-free integer dims."""
+    """Per-label centroid L2 norm (round-3: the query now computes what its
+    name says). Cross-engine-EXACT float discipline: components scale to
+    integer micro-units (round(v*1e6) → exact per-(label,dim) BIGINT sums
+    S_dim), squares accumulate exactly (decimal(38,0) here, HUGEINT in the
+    oracle), and the single lossy step — sqrt — runs on the IDENTICAL
+    exact integer on both engines, so the IEEE doubles (and the rounded
+    output) are bit-equal.  norm = sqrt(Σ S_dim²) / (n_vectors·1e6)."""
     e = _t(spark, sf_dir, "embeddings")
-    return (e.select("label", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("label")
-            .agg(F.count("*").alias("n_components"),
-                 F.countDistinct("dim").alias("n_dims"))
-            .orderBy("label"))
+    comp = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    per_dim = comp.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("v") * 1000000).cast("long")).alias("s"),
+        F.count("*").alias("n"))
+    sq = F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+    agg = per_dim.groupBy("label").agg(
+        F.sum(sq).alias("ss"),
+        F.max("n").alias("n_vectors"),
+        F.count("*").alias("n_dims"))
+    return (agg.select(
+        "label", "n_vectors", "n_dims",
+        F.round(F.sqrt(F.col("ss").cast("double"))
+                / (F.col("n_vectors") * 1000000.0), 4).alias("centroid_norm"))
+        .orderBy("label"))
 
 
 # ---------------------------------------------------------------------------
@@ -725,16 +773,20 @@ ORACLE_SQL: Dict[str, str] = {
     """,
     "user_sessions": """
         WITH flagged AS (
-            SELECT user_id, event_id,
+            SELECT user_id, event_id, ts,
                    CASE WHEN lag(epoch(ts)) OVER w IS NULL
                              OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
+            -- ordered by (ts, event_id) to MATCH the flagged CTE and the
+            -- Spark window (round-3: the old ORDER BY event_id was correct
+            -- only because MAX(sess) is order-invariant; per-event session
+            -- ids would have silently diverged)
             SELECT user_id, event_id,
                    SUM(is_new) OVER (PARTITION BY user_id
-                                     ORDER BY event_id
+                                     ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS sess
             FROM flagged
         )
@@ -1092,14 +1144,74 @@ ORACLE_SQL: Dict[str, str] = {
         ) WHERE rank <= 3 ORDER BY qid, rank
     """,
     "label_centroid_norms": """
-        SELECT label, COUNT(*) AS n_components,
-               COUNT(DISTINCT dim) AS n_dims
-        FROM (SELECT label, unnest(range(len(embedding))) AS dim
-              FROM embeddings)
-        GROUP BY label ORDER BY label
+        WITH comp AS (
+            SELECT label,
+                   unnest(range(len(embedding))) AS dim,
+                   unnest(embedding::DOUBLE[]) AS v
+            FROM embeddings
+        ), per_dim AS (
+            SELECT label, dim,
+                   CAST(SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS BIGINT) AS s,
+                   COUNT(*) AS n
+            FROM comp GROUP BY label, dim
+        ), agg AS (
+            SELECT label,
+                   SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+                   MAX(n) AS n_vectors,
+                   COUNT(*) AS n_dims
+            FROM per_dim GROUP BY label
+        )
+        SELECT label, n_vectors, n_dims,
+               ROUND(sqrt(CAST(ss AS DOUBLE)) / (n_vectors * 1000000.0), 4)
+                 AS centroid_norm
+        FROM agg ORDER BY label
     """,
 }
 
+
+def _taxonomy_case_sql(rules, default: str, conf: bool) -> str:
+    """Generate the oracle's classification CASE chain FROM the engine's
+    rule list (single source of truth — the SQL can never drift from
+    keyword_classify's precedence or confidence arithmetic). Division is
+    exact: length diffs are multiples of len(kw), so DuckDB's rounding
+    INT cast and Spark's truncating one agree."""
+    parts = []
+    for kw, cat in rules:
+        kw_sql = kw.replace("'", "''")
+        if conf:
+            expr = (f"CAST(least((length(text) - "
+                    f"length(replace(text, '{kw_sql}', ''))) / {len(kw)}, "
+                    f"100) AS INT)")
+        else:
+            cat_sql = cat.replace("'", "''")
+            expr = f"'{cat_sql}'"
+        parts.append(f"WHEN text LIKE '%{kw_sql}%' THEN {expr}")
+    else_sql = "0" if conf else f"'{default}'"
+    return "CASE " + " ".join(parts) + f" ELSE {else_sql} END"
+
+
+def _taxonomy_oracle_sql() -> str:
+    from ..operators.classify import LEGAL_AREA_RULES, LEGISLATION_RULES
+    text_case = "CASE " + " ".join(
+        f"WHEN doc_id % 5 = {i} THEN '{s}'"
+        for i, s in enumerate(_TAXONOMY_TEXTS)) + " END"
+    return f"""
+        WITH lt AS (SELECT doc_id, lower({text_case}) AS text
+                    FROM documents WHERE doc_id < 150)
+        SELECT doc_id,
+               {_taxonomy_case_sql(LEGISLATION_RULES, '(Ostatné)', False)}
+                 AS type_legislation,
+               {_taxonomy_case_sql(LEGISLATION_RULES, '(Ostatné)', True)}
+                 AS leg_confidence,
+               {_taxonomy_case_sql(LEGAL_AREA_RULES, '(Ostatné)', False)}
+                 AS type_category,
+               {_taxonomy_case_sql(LEGAL_AREA_RULES, '(Ostatné)', True)}
+                 AS cat_confidence
+        FROM lt ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["doc_taxonomy_classification"] = _taxonomy_oracle_sql()
 
 # the native-session_window variant verifies against the SAME oracle as
 # the lag-based q_user_sessions — two independent implementations must
@@ -1150,6 +1262,7 @@ SQL_QUERIES: Dict[str, Callable] = {
     "legal_parties": q_legal_parties,
     "legal_dates_amounts": q_legal_dates_amounts,
     "doc_classification": q_doc_classification,
+    "doc_taxonomy_classification": q_doc_taxonomy_classification,
     "events_hourly_stream_counts": q_events_hourly_stream_counts,
     "cosine_topk": q_cosine_topk,
     "cosine_near_dup_pairs": q_cosine_near_dup_pairs,

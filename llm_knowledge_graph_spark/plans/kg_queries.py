@@ -229,6 +229,23 @@ def kg_multimodal_features(spark, sf_dir):
         .orderBy("kind"))
 
 
+def kg_schema_samples(spark, sf_dir):
+    """Q1 sample rows (round 3): the reference's get_graph_schema returns
+    LIMIT-10 node/edge samples alongside labels (code/pdf_graphrag.py
+    :321-337); this exposes graph_schema()'s deterministic sample_nodes /
+    sample_edges (ordered before the limit) through one tagged union.
+    Rows-only."""
+    res = _kg(spark)
+    s = Q.graph_schema(res.canonical_nodes, res.canonical_edges)
+    nodes = s["sample_nodes"].select(
+        F.lit("node").alias("kind"), F.col("type").alias("a"),
+        F.col("id").alias("b"), F.lit("").alias("c"))
+    edges = s["sample_edges"].select(
+        F.lit("edge").alias("kind"), F.col("subj").alias("a"),
+        F.col("pred").alias("b"), F.col("obj").alias("c"))
+    return nodes.unionByName(edges).orderBy("kind", "a", "b", "c")
+
+
 def kg_schema_labels(spark, sf_dir):
     """Q1 analogue: schema introspection — distinct labels + rel types
     (ref get_graph_schema, code/pdf_graphrag.py:304-364)."""
@@ -248,7 +265,11 @@ def kg_question_svo(spark, sf_dir):
     svo = Q.question_svo(spark, "since when John Doe works for Acme Corp?")
     hit = svo.first()
     if hit is None:
-        return svo
+        # schema-stable no-hit path (round 3): an empty frame with the SAME
+        # (subj, pred, obj) edge schema as the hit path — a driver query
+        # must not flip shape if the fixture question stops matching
+        return spark.createDataFrame(
+            [], "subj string, pred string, obj string")
     # normalize the verb with the SAME canonical normalizer that produced
     # the stored edge predicates (never an inline re-implementation)
     from ..reference_impl import format_relationship_type
@@ -299,6 +320,7 @@ def kg_chunk_cosine_topk(spark, sf_dir):
 
 
 KG_QUERIES = {
+    "kg_schema_samples": kg_schema_samples,
     "kg_schema_labels": kg_schema_labels,
     "kg_schema_detect": kg_schema_detect,
     "kg_question_svo": kg_question_svo,

@@ -194,3 +194,26 @@ def test_cli_checkpoint_branch_honors_feature_flags(spark, pages_df, tmp_path):
     assert got == want
     emb = embed.read_embeddings(spark, out)
     assert emb.count() == res.chunk_embeddings.count()
+
+
+def test_resume_with_changed_params_fails_fast(spark, pages_df, tmp_path):
+    """Round-3 (manifest hardening): resuming with a different --buckets or
+    key column must raise BEFORE the torn-state repair can destructively
+    delete bucket dirs it wrongly considers pending."""
+    import pytest as _pytest
+
+    from llm_knowledge_graph_spark.operators.checkpoint import (
+        run_stage_resumable)
+    base = str(tmp_path / "ckpt_params")
+    run_stage_resumable(spark, pages_df, _chunk_stage, base, "runP", "chunk",
+                        key_col="url", n_buckets=3)
+    with _pytest.raises(ValueError, match="n_buckets=3"):
+        run_stage_resumable(spark, pages_df, _chunk_stage, base, "runP",
+                            "chunk", key_col="url", n_buckets=5)
+    with _pytest.raises(ValueError, match="key_col"):
+        run_stage_resumable(spark, pages_df, _chunk_stage, base, "runP",
+                            "chunk", key_col="lang", n_buckets=3)
+    # matching params still resume cleanly (no-op read)
+    out = run_stage_resumable(spark, pages_df, _chunk_stage, base, "runP",
+                              "chunk", key_col="url", n_buckets=3)
+    assert out.count() == _chunk_stage(pages_df).count()

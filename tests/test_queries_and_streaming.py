@@ -128,3 +128,24 @@ def test_reconcile_entities_priority(spark):
     assert out[("Term", "Agreement")] == ("structured", "the deal per §2")
     assert out[("Person", "John Doe")] == ("semantic", "from llm only")
     assert len(out) == 2
+
+
+def test_kg_schema_samples_shape(spark, kg_result, monkeypatch):
+    """Q1 sample rows (round 3): 10 node + 10 edge sample rows, stable
+    4-column tagged-union schema, deterministic ordering."""
+    from llm_knowledge_graph_spark.plans import kg_queries
+    # serve the session-scoped kg_result instead of building a new corpus
+    monkeypatch.setattr(kg_queries, "_kg", lambda s, n_pages=0: kg_result)
+    df = kg_queries.kg_schema_samples(spark, "")
+    assert df.columns == ["kind", "a", "b", "c"]
+    rows = df.collect()
+    kinds = {}
+    for r in rows:
+        kinds[r.kind] = kinds.get(r.kind, 0) + 1
+    assert kinds == {"node": 10, "edge": 10}
+    # node rows: (type, id, "") — edge rows: (subj, pred, obj)
+    for r in rows:
+        assert (r.c == "") == (r.kind == "node")
+    # deterministic: two invocations agree exactly
+    again = kg_queries.kg_schema_samples(spark, "").collect()
+    assert rows == again

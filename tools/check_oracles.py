@@ -28,17 +28,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def normalize(pdf, cols):
     """Order-insensitive value fingerprint of a pandas DataFrame, columns
     sorted by name, floats rounded — dtype-sensitive via repr (int64 42
-    != float64 42.0), like the driver's value hash."""
-    out = []
-    for _, row in pdf.iterrows():
-        vals = []
-        for c in sorted(cols):
-            v = row[c]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(repr(v))
-        out.append(tuple(vals))
-    return sorted(out)
+    != float64 42.0), like the driver's value hash.
+
+    Iterates PER COLUMN (`pdf[c].tolist()` preserves each column's dtype
+    scalars) — the round-2 iterrows() version upcast each ROW to a common
+    dtype, so a mixed int/float result (e.g. cosine_topk: int vec_id +
+    double score) upcast identically on both sides and masked exactly the
+    int64-vs-float64 artifact the driver's value hash would reject."""
+    col_vals = []
+    for c in sorted(cols):
+        vals = pdf[c].tolist()
+        col_vals.append([repr(round(v, 9)) if isinstance(v, float) else repr(v)
+                         for v in vals])
+    return sorted(zip(*col_vals)) if col_vals else []
 
 
 def main():
