@@ -312,3 +312,43 @@ def test_minhash_collapse_exact_avoids_pair_blowup(spark):
     assert dup_pairs == {(0, i) for i in range(1, 100)}  # linear, rep = min
     assert (0, 100) in pairs and pairs[(0, 100)] < 1.0   # rep-level near-dup
     assert len(pairs) == 100                              # 99 + 1, not 4951
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path, planted_embeddings):
+    """Round 3: the MATERIALIZED IVF index (cell-partitioned parquet).
+    Query answers must equal the inline ivf_ann_topk (same deterministic
+    centroids), the on-disk layout must be one directory per cell, and the
+    probe scan must show the cell predicate as a PartitionFilter (i.e. the
+    read prunes to n_probe/n_centroids of the files)."""
+    import contextlib
+    import io
+    import os
+
+    from llm_knowledge_graph_spark.operators.similarity import (
+        ivf_ann_topk, query_ivf_index, write_ivf_index)
+    df, queries = planted_embeddings
+    out = str(tmp_path / "ivf")
+    write_ivf_index(df, out, n_centroids=16)
+    cell_dirs = [d for d in os.listdir(f"{out}/vectors")
+                 if d.startswith("cell=")]
+    assert len(cell_dirs) >= 8
+
+    for qvec in queries.values():
+        inline = [(r.vec_id, r.score)
+                  for r in ivf_ann_topk(df, qvec, k=10, n_centroids=16,
+                                        n_probe=4).collect()]
+        stored = [(r.vec_id, r.score)
+                  for r in query_ivf_index(spark, out, qvec, k=10,
+                                           n_probe=4).collect()]
+        assert stored == inline
+
+    # the cell predicate must reach the scan as a PARTITION filter
+    from pyspark.sql import functions as F
+    probe_scan = (spark.read.parquet(f"{out}/vectors")
+                  .filter(F.col("cell").isin([0, 1])))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe_scan.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1][:200]
