@@ -43,9 +43,13 @@ def main() -> None:
     def timed(name, fn):
         """min-of-N in-process repeats (round 3): the host drifts 25-40%
         minute-to-minute and the first measurement carries JIT/page-cache
-        warmup — the per-query MIN is the stable cross-round signal. The
-        SQL cache is cleared between repeats (CacheManager silently reuses
-        identical plans, which would make repeats 2..N no-ops)."""
+        warmup — the per-query MIN is the stable cross-round signal.
+        clearCache between repeats matters for kg_build specifically:
+        build_kg persists its extraction output and Spark's CacheManager
+        matches identical logical plans ACROSS build_kg calls, so without
+        it repeats 2..N of kg_build would reuse repeat 1's cached extract
+        and time only the post-extract tail. For the uncached SQL queries
+        it is a harmless no-op (they re-execute fully regardless)."""
         ts = []
         for _ in range(n_repeats):
             spark.catalog.clearCache()

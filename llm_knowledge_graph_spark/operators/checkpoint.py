@@ -93,11 +93,15 @@ def run_stage_resumable(
         # DELETE bucket dirs it wrongly considers pending
         m_nb = manifest.get("n_buckets")
         m_kc = manifest.get("key_col")
-        if m_nb is not None and (m_nb, m_kc) != (n_buckets, key_col):
+        if (m_nb, m_kc) != (n_buckets, key_col):
+            # a manifest WITHOUT the keys (pre-round-3) is also a hard stop:
+            # its parameters cannot be validated, and proceeding on a guess
+            # risks exactly the destructive repair this guard exists for
             raise ValueError(
-                f"checkpoint resume mismatch for {stage_dir}: manifest was "
-                f"written with n_buckets={m_nb}, key_col={m_kc!r} but this "
-                f"invocation uses n_buckets={n_buckets}, key_col={key_col!r}"
+                f"checkpoint resume mismatch for {stage_dir}: manifest has "
+                f"n_buckets={m_nb}, key_col={m_kc!r} (None = legacy manifest "
+                f"without recorded parameters) but this invocation uses "
+                f"n_buckets={n_buckets}, key_col={key_col!r}"
             )
     done = set(manifest.get("completed", [])) if manifest else set()
     pending = [b for b in range(n_buckets) if b not in done]

@@ -129,17 +129,25 @@ def extract_parties(df: DataFrame, text_col: str = "text",
     codegen; UNION ALL of three one-group extracts (each ANSI-mirrorable,
     empty extracts filtered)."""
     t = F.col(text_col)
-
-    def one(role: str, pattern: str, group: int) -> DataFrame:
-        return (df.select(
-            F.col(id_col),
-            F.lit(role).alias("role"),
-            F.regexp_extract(t, pattern, group).alias("party"))
-            .filter(F.col("party") != ""))
-
-    return (one("PARTY_A", PARTY_BETWEEN_RE, 1)
-            .unionAll(one("PARTY_B", PARTY_BETWEEN_RE, 2))
-            .unionAll(one("NAMED", PARTY_NAMED_RE, 1)))
+    empty = F.array().cast("array<struct<role:string,party:string>>")
+    a = F.regexp_extract(t, PARTY_BETWEEN_RE, 1)
+    b = F.regexp_extract(t, PARTY_BETWEEN_RE, 2)
+    nm = F.regexp_extract(t, PARTY_NAMED_RE, 1)
+    # ONE projection over the text (not a 3-way UNION re-scanning /
+    # re-synthesizing it): both recital groups come from the same match,
+    # so a != '' ⇔ b != ''
+    parties = F.concat(
+        F.when(a != "", F.array(
+            F.struct(F.lit("PARTY_A").alias("role"), a.alias("party")),
+            F.struct(F.lit("PARTY_B").alias("role"), b.alias("party"))))
+        .otherwise(empty),
+        F.when(nm != "", F.array(
+            F.struct(F.lit("NAMED").alias("role"), nm.alias("party"))))
+        .otherwise(empty),
+    )
+    return (df.select(F.col(id_col), F.explode(parties).alias("p"))
+            .select(id_col, F.col("p.role").alias("role"),
+                    F.col("p.party").alias("party")))
 
 
 def extract_dates_amounts(df: DataFrame, text_col: str = "text",

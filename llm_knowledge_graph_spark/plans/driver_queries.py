@@ -1193,7 +1193,7 @@ def _taxonomy_case_sql(rules, default: str, conf: bool) -> str:
 def _taxonomy_oracle_sql() -> str:
     from ..operators.classify import LEGAL_AREA_RULES, LEGISLATION_RULES
     text_case = "CASE " + " ".join(
-        f"WHEN doc_id % 5 = {i} THEN '{s}'"
+        "WHEN doc_id % 5 = {} THEN '{}'".format(i, s.replace("'", "''"))
         for i, s in enumerate(_TAXONOMY_TEXTS)) + " END"
     return f"""
         WITH lt AS (SELECT doc_id, lower({text_case}) AS text

@@ -18,8 +18,12 @@ def graph_schema(nodes: DataFrame, edges: DataFrame, sample_n: int = 10):
     return {
         "labels": nodes.select("type").distinct().orderBy("type"),
         "relationship_types": edges.select("pred").distinct().orderBy("pred"),
+        # order by the FULL uniqueness key before LIMIT — (subj, pred, obj)
+        # alone can tie across differing endpoint types, and TakeOrdered
+        # breaks ties arbitrarily (nondeterministic samples across runs)
         "sample_nodes": nodes.orderBy("type", "id").limit(sample_n),
-        "sample_edges": edges.orderBy("subj", "pred", "obj").limit(sample_n),
+        "sample_edges": edges.orderBy("subj", "subj_type", "pred",
+                                      "obj", "obj_type").limit(sample_n),
     }
 
 

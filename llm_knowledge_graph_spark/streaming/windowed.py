@@ -90,7 +90,10 @@ _FIRST_SEEN_OUT = "key string, doc_id long, digest string"
 # packed binary blob of fixed-width md5 digests (16 bytes each) — 2x
 # smaller than the round-2 array<string> of hex digests and, critically,
 # APPEND-ONLY: each batch appends only the delta, never re-sorts or
-# rewrites the existing bytes (merge_first_seen is the pure core)
+# rewrites the existing bytes (merge_first_seen is the pure core).
+# NOTE: this is a STATE SCHEMA CHANGE vs the round-2 array<string> —
+# a stream resumed from a round-2 checkpoint cannot migrate (discard the
+# checkpoint and re-drain; exactly-once emission then restarts fresh)
 _FIRST_SEEN_STATE = "seen binary"
 _DIGEST_W = 16
 

@@ -33,7 +33,8 @@ def test_resume_equals_uninterrupted(spark, pages_df, tmp_path):
         _mark_completed, with_bucket as wb)
     (wb(out, "url", n_buckets).write.mode("append")
      .partitionBy("bucket").parquet(os.path.join(base, "run1", "chunk", "data")))
-    _mark_completed(base, "run1", "chunk", [0, 1])
+    _mark_completed(base, "run1", "chunk", [0, 1],
+                    extra={"n_buckets": n_buckets, "key_col": "url"})
     assert completed_buckets(base, "run1", "chunk") == [0, 1]
 
     # resume: must recompute only buckets {2, 3}
@@ -144,7 +145,8 @@ def test_torn_write_does_not_duplicate(spark, pages_df, tmp_path):
     (with_bucket(_chunk_stage(part), "url", n_buckets)
      .write.mode("append")
      .partitionBy("bucket").parquet(os.path.join(base, "r", "chunk", "data")))
-    _mark_completed(base, "r", "chunk", [0, 1])
+    _mark_completed(base, "r", "chunk", [0, 1],
+                    extra={"n_buckets": n_buckets, "key_col": "url"})
     # ...then TEAR bucket 2: data on disk, manifest never updated
     part2 = binp.filter(F.col("bucket") == 2).drop("bucket")
     (with_bucket(_chunk_stage(part2), "url", n_buckets)
