@@ -95,7 +95,7 @@ def with_graph_docs(chunks: DataFrame, with_embedding: bool = False,
 
 FLAT_SCHEMA = ("url string, chunk_id long, kind string, a string, "
                "a_type string, pred string, b string, b_type string, "
-               "props_json string, chunk_text string")
+               "props_json string, chunk_text string, occ long")
 
 
 def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
@@ -134,13 +134,13 @@ def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
             c_url: list = []; c_cid: list = []; c_kind: list = []
             c_a: list = []; c_at: list = []; c_pred: list = []
             c_b: list = []; c_bt: list = []; c_pj: list = []
-            c_ct: list = []
+            c_ct: list = []; c_occ: list = []
 
-            def put(url, cid, kind, a, at, pred, b, bt, pj, ct):
+            def put(url, cid, kind, a, at, pred, b, bt, pj, ct, occ):
                 c_url.append(url); c_cid.append(cid); c_kind.append(kind)
                 c_a.append(a); c_at.append(at); c_pred.append(pred)
                 c_b.append(b); c_bt.append(bt); c_pj.append(pj)
-                c_ct.append(ct)
+                c_ct.append(ct); c_occ.append(occ)
 
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
                 if text is None:
@@ -150,17 +150,25 @@ def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
                         extract_chunk(ctext), cid, ctext,
                         with_embedding=with_embedding)
                     prefix = f"{url}#chunk_{cid}"
-                    for n in gd["nodes"]:
+                    # occ = emission ordinal WITHIN the chunk's node/edge
+                    # list — the tie-break for same-key duplicates inside
+                    # one chunk (e.g. the same SVO triple twice with
+                    # different property values): the merge's last-writer-
+                    # wins order is (url, chunk_id, occ), matching the
+                    # reference's per-occurrence `SET += props` replay
+                    for occ, n in enumerate(gd["nodes"]):
                         if n["type"] == "Chunk":
                             props = dict(n["properties"])
                             ct = props.pop("text", None)
                             put(url, cid, "n", prefix, "Chunk", None, None,
-                                None, json.dumps(props, ensure_ascii=False), ct)
+                                None, json.dumps(props, ensure_ascii=False),
+                                ct, occ)
                         else:
                             put(url, cid, "n", n["id"], n["type"], None, None,
                                 None, json.dumps(n["properties"],
-                                                 ensure_ascii=False), None)
-                    for e in gd["edges"]:
+                                                 ensure_ascii=False),
+                                None, occ)
+                    for occ, e in enumerate(gd["edges"]):
                         # HAS edges (chunk → every extracted node, ref
                         # :484-492) are NOT emitted: they are a pure
                         # projection of the node rows (one HAS per non-Chunk
@@ -174,11 +182,11 @@ def extract_pages_flat(pages: DataFrame, chunk_size: int = 1024,
                         put(url, cid, "e", subj, e["subj_type"], e["pred"],
                             e["obj"], e["obj_type"],
                             json.dumps(e["properties"], ensure_ascii=False),
-                            None)
+                            None, occ)
             yield pd.DataFrame({
                 "url": c_url, "chunk_id": c_cid, "kind": c_kind, "a": c_a,
                 "a_type": c_at, "pred": c_pred, "b": c_b, "b_type": c_bt,
-                "props_json": c_pj, "chunk_text": c_ct})
+                "props_json": c_pj, "chunk_text": c_ct, "occ": c_occ})
 
     # never ship html bytes for rows whose text is already populated — the
     # UDF only falls back to html when text is null (the "don't read html
@@ -202,7 +210,7 @@ def nodes_from_flat(flat: DataFrame) -> DataFrame:
     return (flat.filter(F.col("kind") == "n")
             .select(F.col("a").alias("id"), F.col("a_type").alias("type"),
                     props.alias("properties"),
-                    "url", "chunk_id"))
+                    "url", "chunk_id", "occ"))
 
 
 def edges_from_flat(flat: DataFrame) -> DataFrame:
@@ -212,7 +220,7 @@ def edges_from_flat(flat: DataFrame) -> DataFrame:
                     "pred",
                     F.col("b").alias("obj"), F.col("b_type").alias("obj_type"),
                     F.from_json("props_json", _PROPS).alias("properties"),
-                    "url", "chunk_id"))
+                    "url", "chunk_id", "occ"))
 
 
 def has_edges_from_nodes(nodes: DataFrame) -> DataFrame:

@@ -6,8 +6,11 @@ time (ref code/pdf_graphrag.py:272-300). Here the same semantics are two
 pipelined hash aggregations (no join):
 
   level 1 — groupBy(key..., prop_key):  last-writer-wins property value
-            (`SET n += props` in (url, chunk_id) ingestion order) via
-            max_by, plus the per-group first-witness lineage via min;
+            (`SET n += props` in (url, chunk_id, occ) ingestion order —
+            `occ` is the within-chunk emission ordinal, the tie-break
+            when ONE chunk emits the same key twice with conflicting
+            values; inputs without an occ column order on (url, chunk_id)
+            alone) via max_by, plus per-group first-witness lineage (min);
   level 2 — groupBy(key...):            reassemble the property map
             (map_from_entries over the sorted k/v list) and take the global
             first-witness lineage (min of mins).
@@ -27,9 +30,10 @@ from pyspark.sql import functions as F
 
 
 def _merge_by(df: DataFrame, keys: List[str]) -> DataFrame:
-    order = F.struct(F.col("url"), F.col("chunk_id"))
+    ord_cols = ["url", "chunk_id"] + (["occ"] if "occ" in df.columns else [])
+    order = F.struct(*[F.col(c) for c in ord_cols])
     kv = df.select(
-        *keys, "url", "chunk_id",
+        *keys, *ord_cols,
         F.explode_outer(F.col("properties")).alias("k", "v"),
     )
     lvl1 = kv.groupBy(*keys, "k").agg(

@@ -208,8 +208,13 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
     chunk_nodes = nodes.filter(F.col("type") == "Chunk")
     entities = (nodes.filter(F.col("type") != "Chunk")
                 .join(flagged, ["type", "id"], "left"))
+    # occ = hash of the PRE-rewrite identity: when two aliases from the
+    # same first-witness (url, chunk_id) collapse into one canonical key,
+    # the property-merge tie-break is deterministic (arbitrary-but-stable;
+    # alias-collapse priority has no reference semantics to match)
     ent_rewritten = (
         entities.filter(F.col("canonical_id").isNotNull())
+        .withColumn("occ", F.xxhash64("type", "id"))
         .drop("id").withColumnRenamed("canonical_id", "id"))
     ent_stable = entities.filter(F.col("canonical_id").isNull())
     canon_nodes = (
@@ -239,9 +244,10 @@ def rewrite_canonical(nodes: DataFrame, edges: DataFrame,
                    | F.col("obj_canon").isNotNull())
     rel_rewritten = (
         rels.filter(touched_rel)
+        .withColumn("occ", F.xxhash64("subj", "obj"))  # pre-rewrite identity
         .withColumn("subj", F.coalesce("subj_canon", "subj"))
         .withColumn("obj", F.coalesce("obj_canon", "obj"))
-        .select(*cols))
+        .select(*cols, "occ"))
     rel_stable = rels.filter(~touched_rel)
 
     # HAS edges: only same-chunk alias collapses can duplicate them, and a

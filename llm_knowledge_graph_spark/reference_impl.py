@@ -550,20 +550,24 @@ def reference_pipeline(
     Property-merge semantics (round-3 fix): the reference applies
     ``MERGE ... SET n += props`` / ``SET r += props`` once PER OCCURRENCE
     (code/pdf_graphrag.py:287-296) — last-writer-wins per property key —
-    and the engine's documented ingestion order is sorted (url, chunk_id)
-    (operators/merge.py max_by over struct(url, chunk_id)). The oracle
-    therefore collects every occurrence and replays the property updates
-    in sorted (url, chunk_id) order, for NODES and EDGES alike. The old
-    oracle deduped edges first-wins and silently dropped later occurrences'
-    properties, diverging from both the reference and the engine (e.g. a
-    later ``since 2009`` mention never reached the merged edge). Lineage
-    is the first witness: min (url, chunk_id) over occurrences, matching
-    merge.py's ``min(struct(url, chunk_id))``.
+    and the engine's documented ingestion order is sorted
+    (url, chunk_id, occ), where ``occ`` is the emission ordinal within
+    the chunk's node/edge list (operators/merge.py max_by; the ordinal
+    breaks ties when ONE chunk emits the same key twice with conflicting
+    values — Spark's max_by is nondeterministic on order ties). The
+    oracle therefore collects every occurrence and replays the property
+    updates in sorted (url, chunk_id, occ) order, for NODES and EDGES
+    alike. The old oracle deduped edges first-wins and silently dropped
+    later occurrences' properties, diverging from both the reference and
+    the engine (e.g. a later ``since 2009`` mention never reached the
+    merged edge). Lineage is the first witness: min (url, chunk_id) over
+    occurrences, matching merge.py's ``min(struct(url, chunk_id))``.
     """
-    # key -> ordered list of (url, chunk_id, properties) occurrences
-    node_occ: Dict[Tuple[str, str], List[Tuple[str, int, Dict[str, Any]]]] = {}
+    # key -> ordered list of (url, chunk_id, occ, properties) occurrences
+    node_occ: Dict[Tuple[str, str],
+                   List[Tuple[str, int, int, Dict[str, Any]]]] = {}
     edge_occ: Dict[Tuple[str, str, str, str, str],
-                   List[Tuple[str, int, Dict[str, Any]]]] = {}
+                   List[Tuple[str, int, int, Dict[str, Any]]]] = {}
     for row in pages:
         if row.get("lang") not in SUPPORTED_LANGS:
             continue
@@ -575,22 +579,22 @@ def reference_pipeline(
             gd = build_graph_document(raw, cid, ctext, page=0,
                                       with_embedding=with_embedding)
             url = row["url"]
-            for n in gd["nodes"]:
+            for occ, n in enumerate(gd["nodes"]):
                 nid = f"{url}#chunk_{cid}" if n["type"] == "Chunk" else n["id"]
                 node_occ.setdefault((n["type"], nid), []).append(
-                    (url, cid, n["properties"]))
-            for e in gd["edges"]:
+                    (url, cid, occ, n["properties"]))
+            for occ, e in enumerate(gd["edges"]):
                 subj = f"{url}#{e['subj']}" if e["subj_type"] == "Chunk" else e["subj"]
                 ekey = (subj, e["subj_type"], e["pred"], e["obj"], e["obj_type"])
                 edge_occ.setdefault(ekey, []).append(
-                    (url, cid, e["properties"]))
+                    (url, cid, occ, e["properties"]))
 
-    def _merge(occs: List[Tuple[str, int, Dict[str, Any]]]):
-        """Last-writer-wins property replay in sorted (url, chunk_id) order
-        + first-witness lineage (the min occurrence)."""
-        ordered = sorted(occs, key=lambda t: (t[0], t[1]))
+    def _merge(occs: List[Tuple[str, int, int, Dict[str, Any]]]):
+        """Last-writer-wins property replay in sorted (url, chunk_id, occ)
+        order + first-witness lineage (the min occurrence)."""
+        ordered = sorted(occs, key=lambda t: (t[0], t[1], t[2]))
         props: Dict[str, Any] = {}
-        for _u, _c, p in ordered:
+        for _u, _c, _o, p in ordered:
             props.update(p)
         return props, ordered[0][0], ordered[0][1]
 

@@ -117,6 +117,35 @@ def test_property_merge_order_regression(spark):
     assert (row[0].url, row[0].chunk_id) == (g_edge["url"], g_edge["chunk_id"])
 
 
+def test_within_chunk_duplicate_key_is_deterministic(spark):
+    """Review finding (round 3): ONE chunk emitting the same edge key twice
+    with conflicting property values used to tie in the engine's max_by
+    (order struct equal → nondeterministic winner) while the oracle's
+    stable sort picked the last occurrence. The within-chunk emission
+    ordinal `occ` now breaks the tie: both sides must deterministically
+    keep the LAST occurrence's value."""
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+    from llm_knowledge_graph_spark.reference_impl import reference_pipeline
+    from llm_knowledge_graph_spark.sources.pages import PAGES_SCHEMA
+
+    pages = [{
+        "url": "https://x.org/one", "warc_ts": None, "html": None,
+        "text": ("John Doe works for Acme Corp since 2001. "
+                 "John Doe works for Acme Corp since 2009."),
+        "lang": "en",
+    }]
+    golden = reference_pipeline(pages)
+    g = next(e for e in golden["edges"] if e["pred"] == "WORKS_FOR")
+    assert g["properties"] == {"sinceYear": "2009"}  # LAST occurrence wins
+
+    res = build_kg(spark, spark.createDataFrame(pages, PAGES_SCHEMA),
+                   PipelineConfig())
+    rows = res.edges.filter(F.col("pred") == "WORKS_FOR").collect()
+    assert len(rows) == 1
+    assert dict(rows[0].properties) == {"sinceYear": "2009"}
+
+
 def test_edge_properties_and_lineage(kg_result, oracle_graph):
     """Property merge and (url, chunk_id) lineage survive the Spark path.
     Every engine edge must have a golden twin (no `if gp:` truthiness
