@@ -69,7 +69,9 @@ _FRONT = [
     "kg_cosine_near_dup_lsh", "kg_streaming_lang_counts",
     "kg_multimodal_features",     # ^ round-1 evidence only
     "kg_schema_samples", "legal_parties",
-    "doc_taxonomy_classification",               # new in round 3
+    "doc_taxonomy_classification",
+    "doc_semantic_dedup", "word_pagerank",
+    "doc_repetition_stats",                      # new in round 3
     "label_centroid_norms", "user_sessions",     # changed in round 3
 ]
 _TAIL = [

@@ -196,3 +196,53 @@ def canonical_mapping(nodes: DataFrame, sim_edges: DataFrame,
         # ("absent id ⇒ identity"); the driver union-find path never
         # emits roots, and rewrite_canonical re-adds targets itself
     ).filter(F.col("id") != F.col("canonical_id"))
+
+
+def pagerank_exact(edges: DataFrame, n_iterations: int = 10,
+                   damping_pct: int = 85, scale: int = 10 ** 12) -> DataFrame:
+    """Integer-arithmetic PageRank over a directed edge list (src, dst).
+
+    Ranks live in BIGINT "units" (``scale`` units = total mass 1.0) and
+    every step is exact integer math — floor division for the damping
+    factor and the out-degree split, exact BIGINT sums for the gather —
+    so the result is BIT-IDENTICAL across engines, partition counts and
+    aggregation orders (no float-sum nondeterminism; the same trick as
+    label_centroid_norms' micro-unit sums). Dangling nodes (no
+    out-edges) contribute nothing: mass decays instead of being
+    redistributed — the standard simplification for graph-analytics
+    ranking where only the ORDER of ranks matters.
+
+    Per iteration: one shuffle-on-dst aggregation (map-side combinable)
+    + a left join back to the node set; localCheckpoint truncates the
+    iterative lineage exactly as in connected_components. At 100 TB the
+    rank/edge tables would be co-partitioned on the join key across
+    iterations so only the gather shuffles.
+
+    Returns (id, rank_units) — rank_units is the exact integer rank.
+    """
+    nodes = (edges.select(F.col("src").alias("id"))
+             .union(edges.select(F.col("dst")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e = edges.join(outdeg, "src").localCheckpoint()
+    base = (scale * (100 - damping_pct) // 100) // n
+    ranks = nodes.select("id", F.lit(scale // n).cast("long")
+                         .alias("rank_units"))
+    for _ in range(n_iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .select(F.col("dst"),
+                    F.expr(f"((rank_units * {damping_pct}) div 100)"
+                           " div outdeg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select("id",
+                    (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0)))
+                    .cast("long").alias("rank_units"))
+        ).localCheckpoint()
+    return ranks

@@ -236,3 +236,41 @@ def simhash_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.40,
+                   pairs: DataFrame | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): near-duplicate pairs by embedding cosine →
+    connected components → keep the min-id representative per component.
+
+    Returns (id, rep) for EVERY input id (rep == id for semantic
+    uniques). ``pairs`` overrides the candidate-pair generator: the
+    default brute-force ``similarity.cosine_pairs`` is the correctness
+    baseline (caller-bounded input); at scale pass the banded LSH bucket
+    join ``similarity.lsh_cosine_near_dup_pairs`` — both feed the
+    identical CC + min-rep tail. Pair scores are rounded to 4 decimals
+    BEFORE thresholding so the keep/drop decision is bit-stable across
+    engines and partition orders.
+
+    Scale notes: connected components runs on pair-PARTICIPATING ids
+    only (near-dup mass, not corpus size); semantic singletons — the
+    overwhelming majority of a crawl corpus — take the identity branch
+    of one left join and never enter the iterative CC.
+    """
+    from .components import connected_components
+    from .similarity import cosine_pairs
+
+    if pairs is None:
+        pairs = cosine_pairs(embeddings, id_col=id_col, vec_col=vec_col,
+                             threshold=threshold)
+    edges = pairs.select("a", "b")
+    linked = (edges.select(F.col("a").alias("id"))
+              .union(edges.select(F.col("b")))
+              .distinct())
+    comps = connected_components(linked, edges)
+    return (embeddings.select(F.col(id_col).alias("id"))
+            .join(comps, "id", "left")
+            .select("id", F.coalesce(F.col("component"), F.col("id"))
+                    .alias("rep")))

@@ -705,6 +705,118 @@ def q_label_centroid_norms(spark, sf_dir):
         .orderBy("label"))
 
 
+def q_doc_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (round 3): cosine pairs ≥ 0.40 →
+    connected components → min-id representative. Output: the non-trivial
+    semantic clusters (rep, n_members). Oracle closes the transitive
+    reachability with a recursive CTE; the Spark side iterates min-label
+    propagation — same fixpoint, value-verified."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    mapping = dedup.semantic_dedup(e, threshold=0.40)
+    return (mapping.groupBy("rep")
+            .agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > 1)
+            .orderBy("rep"))
+
+
+def q_word_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (10 iterations, d=0.85) over the DISTINCT
+    adjacent-word co-occurrence digraph of the documents corpus — graph
+    analytics on text, value-verified bit-exact against a 10×-unrolled
+    SQL oracle thanks to pagerank_exact's all-integer arithmetic."""
+    from ..operators.components import pagerank_exact
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("src"),
+                           F.element_at(toks, i + 1).alias("dst")),
+    )
+    edges = (d.filter(F.size(toks) >= 2)
+             .select(F.explode(pairs).alias("p"))
+             .select("p.src", "p.dst")
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    return (pagerank_exact(edges, n_iterations=10)
+            .orderBy(F.desc("rank_units"), "id")
+            .limit(25))
+
+
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    per-doc word/bigram duplication counts, all exact integers — the
+    most-frequent-2-gram filter's inputs. Tie-break: lexicographic min
+    bigram among the max-count ones."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)),
+    )
+    per_doc = (d.filter(F.size(toks) >= 2)
+               .select("doc_id",
+                       F.size(toks).alias("n_words"),
+                       F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+                       F.explode(bigrams).alias("bg")))
+    bc = (per_doc.groupBy("doc_id", "n_words", "n_distinct_words", "bg")
+          .agg(F.count("*").alias("c")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "bg")
+    return (bc.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_bigrams",
+                        F.sum("c").over(Window.partitionBy("doc_id")))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "n_words", "n_distinct_words",
+                    F.col("bg").alias("top_bigram"),
+                    F.col("c").alias("top_bigram_n"),
+                    "n_bigrams")
+            .orderBy("doc_id"))
+
+
+def _pagerank_oracle_sql(edge_cte: str, n_iter: int = 10,
+                         damping_pct: int = 85, scale: int = 10 ** 12,
+                         k: int = 25) -> str:
+    """Unrolled-iteration SQL twin of components.pagerank_exact: one CTE
+    per iteration, identical integer arithmetic (``//`` in DuckDB ≡
+    ``div`` in Spark for the all-positive operands here). Inner
+    CAST(SUM(..) AS BIGINT) guards the HUGEINT→float64 pandas artifact."""
+    keep = 100 - damping_pct
+    parts = [
+        f"WITH edges AS ({edge_cte}),",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "e AS (SELECT edges.src, edges.dst, deg.outdeg"
+        " FROM edges JOIN deg ON edges.src = deg.src),",
+        f"r0 AS (SELECT id, {scale} // nn.n AS rank_units"
+        " FROM nodes CROSS JOIN nn),",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"r{i + 1} AS (SELECT nodes.id, "
+            f"({scale} * {keep} // 100) // nn.n + COALESCE(s.contrib, 0)"
+            " AS rank_units FROM nodes CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst AS id, CAST(SUM(((r{i}.rank_units"
+            f" * {damping_pct}) // 100) // e.outdeg) AS BIGINT) AS contrib"
+            f" FROM e JOIN r{i} ON e.src = r{i}.id GROUP BY e.dst"
+            ") s ON nodes.id = s.id),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, rank_units FROM r{n_iter}"
+                 f" ORDER BY rank_units DESC, id LIMIT {k}")
+    return "\n".join(parts)
+
+
+_WORD_EDGES_CTE = """
+    SELECT DISTINCT w[i] AS src, w[i+1] AS dst
+    FROM (SELECT string_split(text, ' ') w FROM documents) t,
+         unnest(range(1, len(w))) r(i)
+    WHERE len(w) >= 2 AND w[i] <> w[i+1]
+"""
+
+
 # ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — same names, same column aliases
 # ---------------------------------------------------------------------------
@@ -1213,6 +1325,54 @@ def _taxonomy_oracle_sql() -> str:
 
 ORACLE_SQL["doc_taxonomy_classification"] = _taxonomy_oracle_sql()
 
+ORACLE_SQL["word_pagerank"] = _pagerank_oracle_sql(_WORD_EDGES_CTE)
+
+# transitive closure via recursive CTE (UNION = set semantics →
+# terminates at the reachability fixpoint); component = MIN(reachable id)
+# matches the Spark side's min-label-propagation fixpoint
+ORACLE_SQL["doc_semantic_dedup"] = """
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+          WHERE vec_id < 500),
+    pairs AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.40
+    ),
+    sym AS (SELECT pa s, pb d FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+    reach(id, r) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+    SELECT rep, COUNT(*) AS n_members FROM comp
+    GROUP BY rep HAVING COUNT(*) > 1 ORDER BY rep
+"""
+
+ORACLE_SQL["doc_repetition_stats"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    words AS (SELECT doc_id, len(w) AS n_words,
+                     len(list_distinct(w)) AS n_distinct_words FROM t),
+    bi AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        FROM t, unnest(range(1, len(w))) r(i)
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+    top AS (
+        SELECT doc_id, bg AS top_bigram, c AS top_bigram_n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, bg) AS rn,
+               CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams
+        FROM bc
+    )
+    SELECT w.doc_id, w.n_words, w.n_distinct_words,
+           top.top_bigram, top.top_bigram_n, top.n_bigrams
+    FROM words w JOIN top ON w.doc_id = top.doc_id AND top.rn = 1
+    ORDER BY w.doc_id
+"""
+
 # the native-session_window variant verifies against the SAME oracle as
 # the lag-based q_user_sessions — two independent implementations must
 # agree with one ground truth
@@ -1268,4 +1428,7 @@ SQL_QUERIES: Dict[str, Callable] = {
     "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
     "knn_join": q_knn_join,
     "label_centroid_norms": q_label_centroid_norms,
+    "doc_semantic_dedup": q_doc_semantic_dedup,
+    "word_pagerank": q_word_pagerank,
+    "doc_repetition_stats": q_doc_repetition_stats,
 }

@@ -1,0 +1,124 @@
+"""Round-3 additions: SemDeDup-style semantic dedup and integer-exact
+PageRank — operator-level fidelity against plain-Python oracles (the
+driver-surface queries `doc_semantic_dedup` / `word_pagerank` are
+additionally value-verified against DuckDB SQL)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _unit(*coords):
+    import math
+    n = math.sqrt(sum(c * c for c in coords))
+    return [c / n for c in coords]
+
+
+@pytest.fixture(scope="module")
+def chain_embeddings(spark):
+    """A transitive near-dup chain: 0~1 and 1~2 are above the cosine
+    threshold but 0~2 is BELOW it — the case where pairwise thresholding
+    alone under-merges and connected components must close the chain.
+    Ids 10/11 are an isolated near-dup pair; 20 is a semantic singleton."""
+    import math
+    a = 0.0
+    b = math.radians(30)   # cos(0,1)=cos30≈0.866 ≥ 0.8
+    c = math.radians(60)   # cos(1,2)=cos30; cos(0,2)=cos60=0.5 < 0.8
+    rows = [
+        (0, _unit(math.cos(a), math.sin(a), 0.0)),
+        (1, _unit(math.cos(b), math.sin(b), 0.0)),
+        (2, _unit(math.cos(c), math.sin(c), 0.0)),
+        (10, _unit(0.0, 0.0, 1.0)),
+        (11, _unit(0.01, 0.0, 1.0)),
+        (20, _unit(-1.0, 0.1, 0.0)),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_semantic_dedup_closes_transitive_chain(chain_embeddings):
+    from llm_knowledge_graph_spark.operators.dedup import semantic_dedup
+    mapping = {r.id: r.rep
+               for r in semantic_dedup(chain_embeddings,
+                                       threshold=0.8).collect()}
+    assert mapping == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_semantic_dedup_matches_union_find_on_testdata(spark):
+    """Engine vs plain-Python oracle (brute-force cosine + union-find) on
+    the real sf0.001 embeddings table."""
+    import numpy as np
+
+    emb = (spark.read
+           .parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter(F.col("vec_id") < 200))
+    rows = sorted((r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+                  for r in emb.collect())
+    ids = [i for i, _ in rows]
+    mat = np.stack([v for _, v in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = np.round(mat @ mat.T, 4)
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            if sim[ai, bi] >= 0.40:
+                ra, rb = find(ids[ai]), find(ids[bi])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to min-of-component (union-find roots are already the
+    # min because we always parent the larger root onto the smaller)
+    expected = {i: find(i) for i in ids}
+
+    from llm_knowledge_graph_spark.operators.dedup import semantic_dedup
+    got = {r.id: r.rep for r in semantic_dedup(emb, threshold=0.40).collect()}
+    assert got == expected
+
+
+def _python_pagerank(edges, n_iterations=10, damping_pct=85, scale=10 ** 12):
+    """All-integer PageRank twin of components.pagerank_exact."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (scale * (100 - damping_pct) // 100) // n
+    ranks = {v: scale // n for v in nodes}
+    for _ in range(n_iterations):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            nxt[d] += (ranks[s] * damping_pct // 100) // outdeg[s]
+        ranks = nxt
+    return ranks
+
+
+def test_pagerank_exact_matches_python_oracle(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("d", "a"), ("e", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from llm_knowledge_graph_spark.operators.components import pagerank_exact
+    got = {r.id: r.rank_units for r in pagerank_exact(df).collect()}
+    assert got == _python_pagerank(edges)
+    # sanity: the sink-heavy hub outranks the leaf
+    assert got["c"] > got["e"]
+
+
+def test_pagerank_exact_is_deterministic_across_partitioning(spark):
+    """Bit-identical rank_units at different parallelism — the integer
+    arithmetic removes float-sum order sensitivity (the property the
+    driver's value hash relies on)."""
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(60)]
+    edges = [(s, d) for s, d in edges if s != d]
+    from llm_knowledge_graph_spark.operators.components import pagerank_exact
+    df1 = spark.createDataFrame(edges, "src string, dst string").coalesce(1)
+    df8 = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    r1 = {r.id: r.rank_units for r in pagerank_exact(df1, 5).collect()}
+    r8 = {r.id: r.rank_units for r in pagerank_exact(df8, 5).collect()}
+    assert r1 == r8 == _python_pagerank(edges, n_iterations=5)
