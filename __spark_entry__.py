@@ -71,7 +71,8 @@ _FRONT = [
     "kg_schema_samples", "legal_parties",
     "doc_taxonomy_classification",
     "doc_semantic_dedup", "word_pagerank",
-    "doc_repetition_stats",                      # new in round 3
+    "doc_repetition_stats", "doc_decontamination",
+    "doc_train_split",                           # new in round 3
     "label_centroid_norms", "user_sessions",     # changed in round 3
 ]
 _TAIL = [

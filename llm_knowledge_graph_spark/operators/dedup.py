@@ -274,3 +274,42 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
             .join(comps, "id", "left")
             .select("id", F.coalesce(F.col("component"), F.col("id"))
                     .alias("rep")))
+
+
+def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM-style
+    n-gram overlap filter): flag corpus docs sharing any word ``n``-gram
+    with the benchmark set.
+
+    Returns one row per CONTAMINATED corpus doc:
+    (id, n_hits, n_distinct_hits, n_shingles) — exact integer counts so
+    the caller derives the contamination ratio without float drift.
+
+    Scale notes: benchmark shingles are DISTINCT and broadcast (eval
+    benchmarks are ~MBs vs a ~100 TB corpus), so the corpus side streams
+    through ONE broadcast left join + one map-side-combinable
+    aggregation — the corpus never shuffles on the shingle key.
+    """
+    def shingles(df: DataFrame) -> DataFrame:
+        d = df.withColumn("toks", F.split(F.col(text_col), " "))
+        toks = F.col("toks")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+        return (d.filter(F.size(toks) >= n)
+                .select(F.col(id_col).alias("id"),
+                        F.explode(grams).alias("g")))
+
+    bench = (shingles(benchmark).select("g").distinct()
+             .withColumn("hit", F.lit(1)))
+    flagged = shingles(corpus).join(F.broadcast(bench), "g", "left")
+    return (flagged.groupBy("id").agg(
+        F.count("hit").alias("n_hits"),
+        F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("g")))
+         .alias("n_distinct_hits"),
+        F.count("*").alias("n_shingles"))
+        .filter(F.col("n_hits") > 0))

@@ -775,6 +775,35 @@ def q_doc_repetition_stats(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_doc_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs 0-9 stand in for the eval
+    benchmark; the rest of the corpus is flagged on any shared word
+    5-gram. Broadcast-join plan — the corpus never shuffles on the
+    shingle key (see dedup.ngram_contamination)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_contamination(
+        d.filter(F.col("doc_id") >= 10), d.filter(F.col("doc_id") < 10),
+        n=5)
+    return (out.select(F.col("id").alias("doc_id"), "n_hits",
+                       "n_distinct_hits", "n_shingles")
+            .orderBy("doc_id"))
+
+
+def q_doc_train_split(spark, sf_dir):
+    """Deterministic hash train/val/test split (≈80/10/10): bucket = first
+    two hex chars of md5(doc_id), compared lexicographically — engine-
+    portable, shuffle-free at assignment time, stable under corpus growth
+    (a doc's split never changes when neighbors are added/removed)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (F.when(h < "cd", "train")
+             .when(h < "e6", "val")
+             .otherwise("test"))
+    return (d.select(split.alias("split"), "lang")
+            .groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+            .orderBy("split", "lang"))
+
+
 def _pagerank_oracle_sql(edge_cte: str, n_iter: int = 10,
                          damping_pct: int = 85, scale: int = 10 ** 12,
                          k: int = 25) -> str:
@@ -1327,6 +1356,31 @@ ORACLE_SQL["doc_taxonomy_classification"] = _taxonomy_oracle_sql()
 
 ORACLE_SQL["word_pagerank"] = _pagerank_oracle_sql(_WORD_EDGES_CTE)
 
+# COUNT(bench.g) counts non-null = matched shingle instances (bench is
+# DISTINCT, so the left join is row-preserving and COUNT(*) = n_shingles)
+ORACLE_SQL["doc_decontamination"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT doc_id, list_aggregate(w[i:i+4], 'string_agg', ' ') AS g
+           FROM t, unnest(range(1, len(w) - 3)) r(i) WHERE len(w) >= 5),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+    cor AS (SELECT * FROM sh WHERE doc_id >= 10)
+    SELECT cor.doc_id,
+           COUNT(bench.g) AS n_hits,
+           COUNT(DISTINCT bench.g) AS n_distinct_hits,
+           COUNT(*) AS n_shingles
+    FROM cor LEFT JOIN bench USING (g)
+    GROUP BY cor.doc_id HAVING COUNT(bench.g) > 0 ORDER BY doc_id
+"""
+
+ORACLE_SQL["doc_train_split"] = """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY split, lang ORDER BY split, lang
+"""
+
 # transitive closure via recursive CTE (UNION = set semantics →
 # terminates at the reachability fixpoint); component = MIN(reachable id)
 # matches the Spark side's min-label-propagation fixpoint
@@ -1431,4 +1485,6 @@ SQL_QUERIES: Dict[str, Callable] = {
     "doc_semantic_dedup": q_doc_semantic_dedup,
     "word_pagerank": q_word_pagerank,
     "doc_repetition_stats": q_doc_repetition_stats,
+    "doc_decontamination": q_doc_decontamination,
+    "doc_train_split": q_doc_train_split,
 }
