@@ -804,6 +804,38 @@ def q_doc_train_split(spark, sf_dir):
             .orderBy("split", "lang"))
 
 
+def q_word_graph_stats(spark, sf_dir):
+    """Exact triangle census of the word co-occurrence graph — the
+    degree-ordered wedge-closure algorithm (components.triangle_count),
+    value-verified against a 3-way-self-join SQL oracle."""
+    from ..operators.components import triangle_count
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("a"),
+                           F.element_at(toks, i + 1).alias("b")),
+    )
+    edges = (d.filter(F.size(toks) >= 2)
+             .select(F.explode(pairs).alias("p"))
+             .select("p.a", "p.b"))
+    return triangle_count(edges)
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-lang exact length percentiles (type-7 linear interpolation on
+    both engines; true values carry ≤2 decimals, so the 4-decimal round
+    is never near a boundary — cross-engine stable)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        *[F.round(F.percentile(F.col("n_chars"), p), 4).alias(a)
+          for p, a in ((0.25, "p25"), (0.5, "p50"),
+                       (0.75, "p75"), (0.9, "p90"))])
+        .orderBy("lang"))
+
+
 def _pagerank_oracle_sql(edge_cte: str, n_iter: int = 10,
                          damping_pct: int = 85, scale: int = 10 ** 12,
                          k: int = 25) -> str:
@@ -1372,6 +1404,32 @@ ORACLE_SQL["doc_decontamination"] = """
     GROUP BY cor.doc_id HAVING COUNT(bench.g) > 0 ORDER BY doc_id
 """
 
+ORACLE_SQL["word_graph_stats"] = """
+    WITH e0 AS (
+        SELECT DISTINCT w[i] AS a, w[i+1] AS b
+        FROM (SELECT string_split(text, ' ') w FROM documents) t,
+             unnest(range(1, len(w))) r(i)
+        WHERE len(w) >= 2 AND w[i] <> w[i+1]
+    ),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    canon AS (SELECT DISTINCT LEAST(a, b) x, GREATEST(a, b) y FROM und),
+    verts AS (SELECT x AS v FROM canon UNION SELECT y FROM canon)
+    SELECT (SELECT COUNT(*) FROM verts) AS n_nodes,
+           (SELECT COUNT(*) FROM canon) AS n_edges,
+           (SELECT COUNT(*) FROM canon e1
+            JOIN canon e2 ON e1.y = e2.x AND e1.x < e2.x
+            JOIN canon e3 ON e3.x = e1.x AND e3.y = e2.y) AS n_triangles
+"""
+
+ORACLE_SQL["doc_length_quantiles"] = """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+           ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
+           ROUND(quantile_cont(n_chars, 0.9), 4) AS p90
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
 ORACLE_SQL["doc_train_split"] = """
     SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
                 THEN 'train'
@@ -1487,4 +1545,6 @@ SQL_QUERIES: Dict[str, Callable] = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "doc_decontamination": q_doc_decontamination,
     "doc_train_split": q_doc_train_split,
+    "word_graph_stats": q_word_graph_stats,
+    "doc_length_quantiles": q_doc_length_quantiles,
 }

@@ -122,3 +122,28 @@ def test_pagerank_exact_is_deterministic_across_partitioning(spark):
     r1 = {r.id: r.rank_units for r in pagerank_exact(df1, 5).collect()}
     r8 = {r.id: r.rank_units for r in pagerank_exact(df8, 5).collect()}
     assert r1 == r8 == _python_pagerank(edges, n_iterations=5)
+
+
+def test_triangle_count_known_graphs(spark):
+    from llm_knowledge_graph_spark.operators.components import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "a string, b string")
+        return triangle_count(df).collect()[0]
+
+    # K4: 4 triangles; duplicate + reversed + self-loop edges must not
+    # change the census of the underlying simple graph
+    k4 = [(a, b) for i, a in enumerate("wxyz") for b in "wxyz"[i + 1:]]
+    noisy = k4 + [(b, a) for a, b in k4] + [("w", "w"), ("x", "y")]
+    r = tri(noisy)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    # star graph (hub h, leaves 0..9): the degree-ordered orientation
+    # generates ZERO wedges at the hub — and there are no triangles
+    star = [("h", f"l{i}") for i in range(10)]
+    r = tri(star)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (11, 10, 0)
+
+    # hub + one closed leaf pair → exactly 1 triangle
+    r = tri(star + [("l0", "l1")])
+    assert r.n_triangles == 1
