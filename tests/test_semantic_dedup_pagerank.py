@@ -147,3 +147,52 @@ def test_triangle_count_known_graphs(spark):
     # hub + one closed leaf pair → exactly 1 triangle
     r = tri(star + [("l0", "l1")])
     assert r.n_triangles == 1
+
+
+def test_semantic_dedup_lsh_scale_path_same_clusters(spark):
+    """The LSH pair generator (scale path) must feed semantic_dedup to the
+    SAME clusters as the brute-force baseline when LSH recall is 1.0 —
+    exact duplicates collide in every band of every table, so planted
+    bit-identical vectors are always recovered."""
+    from llm_knowledge_graph_spark.operators.dedup import semantic_dedup
+    from llm_knowledge_graph_spark.operators.similarity import (
+        lsh_cosine_near_dup_pairs)
+
+    e = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+         .filter(F.col("vec_id") < 100).select("vec_id", "embedding"))
+    planted = e.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = e.unionByName(planted)
+
+    brute = {r.id: r.rep
+             for r in semantic_dedup(corpus, threshold=0.999).collect()}
+    lsh_pairs = lsh_cosine_near_dup_pairs(corpus, threshold=0.999)
+    via_lsh = {r.id: r.rep
+               for r in semantic_dedup(corpus, pairs=lsh_pairs).collect()}
+    assert via_lsh == brute
+    assert all(via_lsh[v + 1000] == v for v in range(100))
+
+
+def test_triangle_count_random_graphs_property(spark):
+    """Randomized cross-check of the degree-ordered wedge closure against
+    a plain-Python triangle enumerator (fixed seeds — deterministic)."""
+    import itertools
+    import random
+
+    from llm_knowledge_graph_spark.operators.components import triangle_count
+
+    for seed, n, m in ((7, 12, 30), (11, 9, 16), (13, 15, 50)):
+        rng = random.Random(seed)
+        edges = [(f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")
+                 for _ in range(m)]
+        simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        adj = {}
+        for a, b in simple:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expected = sum(
+            1 for x, y, z in itertools.combinations(sorted(adj), 3)
+            if y in adj[x] and z in adj[x] and z in adj[y])
+        r = triangle_count(
+            spark.createDataFrame(edges, "a string, b string")).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_triangles) == (
+            len(adj), len(simple), expected), f"seed={seed}"
