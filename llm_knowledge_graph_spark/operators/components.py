@@ -198,6 +198,45 @@ def canonical_mapping(nodes: DataFrame, sim_edges: DataFrame,
     ).filter(F.col("id") != F.col("canonical_id"))
 
 
+def bfs_distances(edges: DataFrame, seeds: DataFrame,
+                  max_depth: int = 4) -> DataFrame:
+    """Multi-source BFS shortest-path distances over a DIRECTED edge list
+    ``edges(src, dst)`` from ``seeds(id)``, depth-capped at ``max_depth``.
+
+    Classic frontier expansion as iterative DataFrame joins: each level
+    joins the frontier to the edge list on ``src`` (one shuffle on the
+    node id), LEFT-ANTI-joins the visited set so a vertex is emitted
+    only at its MINIMAL distance, and ``localCheckpoint``s the new
+    level (constant plan size — the same lineage discipline as
+    `connected_components`). Terminates after ``max_depth`` levels or
+    when the frontier empties, whichever is first; the per-level
+    empty probe is a bounded ``limit(1).count()`` driver action.
+
+    At 100 TB: edges, frontier and visited co-partitioned on the node
+    id so the anti-join is shuffle-free after the first level; per-round
+    cost is bounded by the frontier size (not the corpus), and the
+    visited set is the only structure that grows — exactly the k-hop
+    neighborhood, which the depth cap bounds by design.
+
+    Returns (id, dist) — one row per vertex reachable within
+    ``max_depth``, including every seed at dist 0.
+    """
+    visited = (seeds.select("id").distinct()
+               .withColumn("dist", F.lit(0)).localCheckpoint())
+    frontier = visited.select("id")
+    for depth in range(1, max_depth + 1):
+        nxt = (frontier.join(edges, frontier["id"] == edges["src"])
+               .select(F.col("dst").alias("id")).distinct()
+               .join(visited, "id", "left_anti")
+               .withColumn("dist", F.lit(depth))
+               .localCheckpoint())
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return visited
+
+
 def pagerank_exact(edges: DataFrame, n_iterations: int = 10,
                    damping_pct: int = 85, scale: int = 10 ** 12) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list (src, dst).

@@ -836,6 +836,69 @@ def q_doc_length_quantiles(spark, sf_dir):
         .orderBy("lang"))
 
 
+def q_word_bfs_distances(spark, sf_dir):
+    """Depth-capped BFS shortest-path distances over the directed
+    adjacent-word graph from its lexicographically smallest source word
+    — value-verifies the iterative frontier-expansion traversal
+    (components.bfs_distances) against a recursive-CTE oracle. The
+    level-k anti-join must emit each word at its MINIMAL distance only
+    (at sf0.01 one word is reachable only at depth 2 — a wrong
+    frontier/visited interaction would surface it at depth 1)."""
+    from ..operators.components import bfs_distances
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("src"),
+                           F.element_at(toks, i + 1).alias("dst")),
+    )
+    edges = (d.filter(F.size(toks) >= 2)
+             .select(F.explode(pairs).alias("p"))
+             .select("p.src", "p.dst")
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    seeds = edges.agg(F.min("src").alias("id"))
+    return bfs_distances(edges, seeds, max_depth=3).orderBy("dist", "id")
+
+
+def q_doc_shingle_components(spark, sf_dir):
+    """Duplicate-cluster discovery as graph connectivity: docs sharing
+    any word 8-gram are edges; clusters are connected components. The
+    distributed two-phase star contraction (connected_components_star)
+    is invoked DIRECTLY — no driver union-find fast path — so this
+    value-verifies the Kiveris et al. algorithm itself against a
+    recursive-CTE transitive-closure oracle (at sf0.01: 23 components,
+    sizes 2-3, isolated docs excluded by construction).
+
+    Scale notes: the pair generator is the standard shingle-blocking
+    self-join — shuffles on the shingle key; the ≤32-docs-per-shingle
+    cap is the hot-shingle (boilerplate) guard that bounds per-key
+    fan-out to O(cap²), the same skew discipline as minhash banding.
+    At 100 TB the shingle string would be xxhash64-compressed before
+    the shuffle (identical pair set modulo collisions)."""
+    from ..operators.components import connected_components_star
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 7),
+        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+    )
+    sh = (d.filter(F.size(toks) >= 8)
+          .select("doc_id", F.explode(F.array_distinct(shingles)).alias("g")))
+    hot = (sh.groupBy("g").agg(F.count("*").alias("c"))
+           .filter(F.col("c") > 32).select("g"))
+    shf = sh.join(hot, "g", "left_anti")
+    a = shf.select(F.col("g"), F.col("doc_id").alias("a"))
+    b = shf.select(F.col("g"), F.col("doc_id").alias("b"))
+    edges = (a.join(b, "g").filter(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    verts = (edges.select(F.col("a").alias("id"))
+             .union(edges.select(F.col("b"))).distinct())
+    return connected_components_star(verts, edges).orderBy("id")
+
+
 def _pagerank_oracle_sql(edge_cte: str, n_iter: int = 10,
                          damping_pct: int = 85, scale: int = 10 ** 12,
                          k: int = 25) -> str:
@@ -1388,6 +1451,46 @@ ORACLE_SQL["doc_taxonomy_classification"] = _taxonomy_oracle_sql()
 
 ORACLE_SQL["word_pagerank"] = _pagerank_oracle_sql(_WORD_EDGES_CTE)
 
+# UNION-distinct recursion: the working set is (id, dist) pairs not seen
+# before, so each id appears at most max_depth+1 times and the recursion
+# terminates; MIN(dist) collapses to the BFS distance function.
+ORACLE_SQL["word_bfs_distances"] = f"""
+    WITH RECURSIVE edges AS ({_WORD_EDGES_CTE}),
+    seedv AS (SELECT MIN(src) AS s FROM edges),
+    reach(id, dist) AS (
+        SELECT s, 0 FROM seedv
+        UNION
+        SELECT e.dst, r.dist + 1
+        FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.dist < 3
+    )
+    SELECT id, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM reach GROUP BY id ORDER BY dist, id
+"""
+
+ORACLE_SQL["doc_shingle_components"] = """
+    WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w
+                         FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  list_aggregate(w[i:i+7], 'string_agg', ' ') AS g
+           FROM t, unnest(range(1, len(w) - 6)) r(i) WHERE len(w) >= 8),
+    ok AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 32),
+    shf AS (SELECT sh.* FROM sh JOIN ok USING (g)),
+    edges AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM shf a JOIN shf b
+              ON a.g = b.g AND a.doc_id < b.doc_id),
+    nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+    sym AS (SELECT a AS u, b AS v FROM edges
+            UNION SELECT b AS u, a AS v FROM edges),
+    reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.dst
+    )
+    SELECT src AS id, MIN(dst) AS component
+    FROM reach GROUP BY src ORDER BY id
+"""
+
 # COUNT(bench.g) counts non-null = matched shingle instances (bench is
 # DISTINCT, so the left join is row-preserving and COUNT(*) = n_shingles)
 ORACLE_SQL["doc_decontamination"] = """
@@ -1547,4 +1650,6 @@ SQL_QUERIES: Dict[str, Callable] = {
     "doc_train_split": q_doc_train_split,
     "word_graph_stats": q_word_graph_stats,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "word_bfs_distances": q_word_bfs_distances,
+    "doc_shingle_components": q_doc_shingle_components,
 }

@@ -196,3 +196,32 @@ def test_triangle_count_random_graphs_property(spark):
             spark.createDataFrame(edges, "a string, b string")).collect()[0]
         assert (r.n_nodes, r.n_edges, r.n_triangles) == (
             len(adj), len(simple), expected), f"seed={seed}"
+
+
+def test_bfs_distances_min_depth_and_cap(spark):
+    """BFS must emit each vertex at its MINIMAL distance (the anti-join
+    contract), honor the depth cap, ignore unreachable vertices, and
+    support multi-source seeds."""
+    from llm_knowledge_graph_spark.operators.components import bfs_distances
+
+    #   s → a → b → c → d        (chain)
+    #   s → b                    (shortcut: b is dist 1, not 2)
+    #   x → s                    (x unreachable FROM s — directed)
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+         ("s", "b"), ("x", "s")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "id string")
+
+    got = {r.id: r.dist for r in bfs_distances(edges, seeds, 4).collect()}
+    assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 3}
+
+    capped = {r.id: r.dist
+              for r in bfs_distances(edges, seeds, 2).collect()}
+    assert capped == {"s": 0, "a": 1, "b": 1, "c": 2}
+
+    multi = {r.id: r.dist
+             for r in bfs_distances(
+                 edges, spark.createDataFrame([("s",), ("c",)],
+                                              "id string"), 4).collect()}
+    assert multi == {"s": 0, "c": 0, "a": 1, "b": 1, "d": 1}
