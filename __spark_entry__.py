@@ -74,7 +74,8 @@ _FRONT = [
     "doc_repetition_stats", "doc_decontamination",
     "doc_train_split", "word_graph_stats",
     "doc_length_quantiles",
-    "word_bfs_distances", "doc_shingle_components",  # new in round 3
+    "word_bfs_distances", "doc_shingle_components",
+    "events_asof_purchase", "events_range_join",     # new in round 3
     "label_centroid_norms", "user_sessions",     # changed in round 3
 ]
 _TAIL = [

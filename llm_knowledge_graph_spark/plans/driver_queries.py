@@ -899,6 +899,53 @@ def q_doc_shingle_components(spark, sf_dir):
     return connected_components_star(verts, edges).orderBy("id")
 
 
+def q_events_asof_purchase(spark, sf_dir):
+    """Backward as-of join: each click matched to the SAME user's most
+    recent purchase at-or-before it (temporal.asof_join — union + one
+    running-last window, single shuffle). Value-verified against
+    DuckDB's native ASOF JOIN — an independent implementation of the
+    same semantics. purchase_value rides through un-rounded (both
+    engines read the identical parquet double and do no arithmetic);
+    the gap is exact integer microseconds."""
+    from ..operators.temporal import asof_join, epoch_us
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts",
+                     F.col("value").alias("purchase_value")))
+    out = asof_join(clicks, purch, on="user_id",
+                    value_cols=["purchase_value"])
+    return (out.select(
+        "event_id", "user_id", "purchase_value",
+        (epoch_us(F.col("ts")) - epoch_us(F.col("_asof_ts")))
+        .alias("us_since_purchase"))
+        .orderBy("event_id"))
+
+
+def q_events_range_join(spark, sf_dir):
+    """Bounded-interval range join: (click, purchase) pairs of the same
+    user with the purchase 0-3600 s after the click
+    (temporal.range_join_bucketed — time-bucketed equi-join + exact
+    microsecond trim, never a theta-join). Oracle is the plain
+    inequality join DuckDB can afford at this scale."""
+    from ..operators.temporal import epoch_us, range_join_bucketed
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    out = range_join_bucketed(clicks, purch, on="user_id",
+                              lower_s=0, upper_s=3600)
+    return (out.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        (epoch_us(F.col("r_ts")) - epoch_us(F.col("l_ts")))
+        .alias("gap_us"))
+        .orderBy("click_id", "purchase_id"))
+
+
 def _pagerank_oracle_sql(edge_cte: str, n_iter: int = 10,
                          damping_pct: int = 85, scale: int = 10 ** 12,
                          k: int = 25) -> str:
@@ -1468,6 +1515,31 @@ ORACLE_SQL["word_bfs_distances"] = f"""
     FROM reach GROUP BY id ORDER BY dist, id
 """
 
+ORACLE_SQL["events_asof_purchase"] = """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+    purch AS (SELECT user_id, ts, value AS purchase_value FROM events
+              WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, p.purchase_value,
+           epoch_us(c.ts) - epoch_us(p.ts) AS us_since_purchase
+    FROM clicks c ASOF JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+"""
+
+ORACLE_SQL["events_range_join"] = """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+    purch AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM clicks c JOIN purch p ON c.user_id = p.user_id
+    WHERE epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+    ORDER BY click_id, purchase_id
+"""
+
 ORACLE_SQL["doc_shingle_components"] = """
     WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w
                          FROM documents),
@@ -1652,4 +1724,6 @@ SQL_QUERIES: Dict[str, Callable] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "word_bfs_distances": q_word_bfs_distances,
     "doc_shingle_components": q_doc_shingle_components,
+    "events_asof_purchase": q_events_asof_purchase,
+    "events_range_join": q_events_range_join,
 }
