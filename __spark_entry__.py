@@ -76,6 +76,8 @@ _FRONT = [
     "doc_length_quantiles",
     "word_bfs_distances", "doc_shingle_components",
     "events_asof_purchase", "events_range_join",     # new in round 3
+    "doc_pii_redaction", "word_link_prediction", "doc_dup_span_mass",
+    "brand_revenue_salted", "events_hopping_counts",  # new in round 3
     "label_centroid_norms", "user_sessions",     # changed in round 3
 ]
 _TAIL = [

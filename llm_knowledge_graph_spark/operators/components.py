@@ -335,3 +335,50 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         [(canon.select("x").union(canon.select("y")).distinct().count(),
           canon.count(), tri)],
         "n_nodes bigint, n_edges bigint, n_triangles bigint")
+
+
+def link_prediction_ra(edges: DataFrame, max_degree: int = 0,
+                       scale: int = 10 ** 9) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) over
+    the undirected simple graph underlying ``edges(a, b)``: for every
+    non-adjacent pair (x, y) with at least one common neighbor z, score
+    RA(x,y) = Σ_z 1/deg(z).
+
+    Cross-engine-EXACT float discipline (same trick as pagerank_exact /
+    label_centroid_norms): each 1/deg(z) term is the INTEGER
+    ``scale div deg(z)``, summed as BIGINT — bit-identical across
+    engines and aggregation orders, no float-sum nondeterminism. The
+    companion integer feature n_common (common-neighbor count) rides
+    along for free.
+
+    Scale notes: wedge generation is a self-join on the apex z, so
+    per-key fan-out is O(deg(z)²) — on power-law crawl graphs the hub
+    apexes ARE the curse-of-the-last-reducer key. ``max_degree`` > 0
+    drops apexes above the cap BEFORE the self-join (the standard
+    hot-shingle/hub guard, same discipline as minhash banding caps);
+    the oracle applies the identical cap, so results stay value-exact.
+    The adjacency anti-join and the degree join both broadcast-or-
+    shuffle on canonical (x, y) / z keys — no cross product anywhere.
+
+    Returns (x, y, n_common, ra_score_units) with x < y.
+    """
+    canon = (edges.select(F.least("a", "b").alias("x"),
+                          F.greatest("a", "b").alias("y"))
+             .filter(F.col("x") != F.col("y"))
+             .distinct().localCheckpoint())
+    und = (canon.select(F.col("x").alias("z"), F.col("y").alias("n"))
+           .union(canon.select(F.col("y"), F.col("x"))))
+    deg = und.groupBy("z").agg(F.count("*").alias("deg"))
+    apex = und.join(deg, "z")
+    if max_degree > 0:
+        apex = apex.filter(F.col("deg") <= max_degree)
+    w1 = apex.select("z", "deg", F.col("n").alias("x"))
+    w2 = apex.select(F.col("z").alias("z2"), F.col("n").alias("y"))
+    wedges = (w1.join(w2, w1["z"] == w2["z2"])
+              .filter(F.col("x") < F.col("y"))
+              .select("x", "y", "deg"))
+    open_wedges = wedges.join(canon, ["x", "y"], "left_anti")
+    return (open_wedges.groupBy("x", "y").agg(
+        F.count("*").alias("n_common"),
+        F.sum(F.expr(f"{scale} div deg")).alias("ra_score_units"))
+    )

@@ -313,3 +313,46 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
          .alias("n_distinct_hits"),
         F.count("*").alias("n_shingles"))
         .filter(F.col("n_hits") > 0))
+
+
+def duplicate_shingle_mass(docs: DataFrame, n: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Per-document duplicated-span mass — the Dolma/RefinedWeb-style
+    paragraph-dedup signal expressed over word ``n``-grams (this corpus
+    has no paragraph breaks): for each doc, how much of it is text that
+    ALSO occurs verbatim elsewhere in the corpus.
+
+    Two map-side-combinable aggregations: (1) distinct shingles per doc
+    (the DISTINCT collapses within-doc repeats so a doc self-repeating a
+    span is not "duplicated"); (2) shingle document-frequency over the
+    corpus; then one join back and a per-doc rollup. All-integer output
+    (dup_permille = 1000*n_dup div n_shingles) — no float drift.
+
+    Scale notes: the only shuffle keys are the shingle string and
+    doc_id; at 100 TB the shingle would be xxhash64-compressed before
+    the DF aggregation (identical counts modulo collisions) and the
+    boilerplate guard is the DF cap the caller applies downstream —
+    here df≥2 is a per-shingle counter, never a pair join, so hot
+    boilerplate shingles cost O(df), not O(df²).
+
+    Returns (id, n_shingles, n_dup_shingles, dup_permille).
+    """
+    d = docs.withColumn("toks", F.split(F.col(text_col), " "))
+    toks = F.col("toks")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]),
+    ))
+    sh = (d.filter(F.size(toks) >= n)
+          .select(F.col(id_col).alias("id"), F.explode(grams).alias("g")))
+    df_counts = sh.groupBy("g").agg(F.countDistinct("id").alias("df"))
+    joined = sh.join(df_counts.filter(F.col("df") >= 2)
+                    .withColumn("dup", F.lit(1)).drop("df"),
+                    "g", "left")
+    return (joined.groupBy("id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("dup").alias("n_dup_shingles"))
+        .withColumn("dup_permille",
+                    F.expr("(1000 * n_dup_shingles) div n_shingles")))

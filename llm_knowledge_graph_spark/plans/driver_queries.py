@@ -946,6 +946,108 @@ def q_events_range_join(spark, sf_dir):
         .orderBy("click_id", "purchase_id"))
 
 
+def _with_injected_pii(d):
+    """Deterministically splice synthetic PII into the corpus text —
+    identically reproduced in the DuckDB oracle — so the redaction
+    operator has non-trivial, per-doc-varying work to verify (the
+    synthetic corpus itself contains no emails/phones/IPs). Which PII
+    kinds a doc gets is a function of doc_id (≈2/3 get an email, 1/2 an
+    IP, 1/2 a phone; some get all three, some none)."""
+    did = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    email = F.when(did % 3 == 0, F.lit("")).otherwise(
+        F.concat(F.lit(" u"), s(did), F.lit("@ex"), s(did % 7),
+                 F.lit(".com")))
+    ip = F.when(did % 2 == 0,
+                F.concat(F.lit(" ip 10."), s(did % 256), F.lit(".0."),
+                         s((did * 7) % 256))).otherwise(F.lit(""))
+    phone = F.when(did % 4 < 2,
+                   F.concat(F.lit(" tel 555-"),
+                            F.lpad(s(did % 1000), 3, "0"), F.lit("-"),
+                            F.lpad(s((did * 13) % 10000), 4, "0"))
+                   ).otherwise(F.lit(""))
+    return d.withColumn(
+        "text", F.concat(F.col("text"), email, ip, phone))
+
+
+def q_doc_pii_redaction(spark, sf_dir):
+    """PII detection + masking audit (operators/pii.py) over the corpus
+    with deterministically injected emails/IPv4s/phones: per-doc exact
+    match counts plus the md5 of the fully redacted text — the digest
+    value-verifies the exact redacted BYTES against DuckDB running the
+    very same Java∩RE2 patterns. Pure codegen string expressions,
+    zero shuffle (see pii.py scale notes)."""
+    from ..operators import pii
+    d = _with_injected_pii(_t(spark, sf_dir, "documents"))
+    return pii.pii_report(d, "doc_id").orderBy("doc_id")
+
+
+def q_word_link_prediction(spark, sf_dir):
+    """Resource-Allocation link prediction over the undirected word
+    co-occurrence graph (components.link_prediction_ra): top-25
+    non-adjacent pairs by Σ 1/deg(common neighbor), integer-exact via
+    scale-div units. Hub apexes above degree 40 are dropped BEFORE the
+    wedge self-join on BOTH engines (the power-law last-reducer
+    guard — at crawl scale the hubs are stopword-like tokens)."""
+    from ..operators.components import link_prediction_ra
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("a"),
+                           F.element_at(toks, i + 1).alias("b")),
+    )
+    edges = (d.filter(F.size(toks) >= 2)
+             .select(F.explode(pairs).alias("p"))
+             .select("p.a", "p.b"))
+    return (link_prediction_ra(edges, max_degree=40)
+            .orderBy(F.desc("ra_score_units"), "x", "y")
+            .limit(25))
+
+
+def q_doc_dup_span_mass(spark, sf_dir):
+    """Per-doc duplicated-span mass (dedup.duplicate_shingle_mass):
+    the fraction of a doc's distinct word 8-grams that occur verbatim in
+    ANOTHER doc — the Dolma/RefinedWeb paragraph-dedup signal with
+    all-integer output. Emits only the contaminated docs."""
+    d = _t(spark, sf_dir, "documents")
+    return (dedup.duplicate_shingle_mass(d, n=8)
+            .filter(F.col("n_dup_shingles") > 0)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
+def q_brand_revenue_salted(spark, sf_dir):
+    """Hot-key-safe revenue rollup: lineitem ⋈ broadcast(part) then the
+    TWO-PHASE salted aggregation (skew.salted_sum, 16-way salt from
+    l_orderkey) by p_brand — bit-identical to the plain groupBy the
+    oracle runs, but the wide shuffle carries ≤ brands×16 partial rows,
+    so one hot brand fans across 16 reducers instead of one."""
+    from ..operators.skew import salted_sum
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    out = salted_sum(
+        j, ["p_brand"],
+        {"revenue_cents": _cents(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount")))},
+        salt_col="l_orderkey", n_salts=16, count_alias="n_items")
+    return out.orderBy("p_brand")
+
+
+def q_events_hopping_counts(spark, sf_dir):
+    """Hopping (sliding) window counts: 2-hour windows every 30 minutes
+    — each event lands in exactly 4 windows. The oracle reconstructs
+    Spark's epoch-aligned window family via time_bucket minus k·slide,
+    k ∈ 0..3; tz-free arithmetic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+            .orderBy("window_start"))
+
+
 def _pagerank_oracle_sql(edge_cte: str, n_iter: int = 10,
                          damping_pct: int = 85, scale: int = 10 ** 12,
                          k: int = 25) -> str:
@@ -1727,3 +1829,109 @@ SQL_QUERIES: Dict[str, Callable] = {
     "events_asof_purchase": q_events_asof_purchase,
     "events_range_join": q_events_range_join,
 }
+
+
+# --- round-3 additions: PII, link prediction, dup-span mass, salted agg,
+# hopping windows -----------------------------------------------------------
+
+_PII_DOCS_CTE = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN ''
+                   ELSE ' u' || CAST(doc_id AS VARCHAR) || '@ex'
+                        || CAST(doc_id % 7 AS VARCHAR) || '.com' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 < 2
+                   THEN ' tel 555-'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-'
+                        || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS text
+    FROM documents
+"""
+
+ORACLE_SQL["doc_pii_redaction"] = f"""
+    WITH pii_docs AS ({_PII_DOCS_CTE}),
+    red AS (
+        SELECT doc_id, text,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+                   '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g') AS redacted
+        FROM pii_docs
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+           md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS BIGINT) AS redacted_len
+    FROM red ORDER BY doc_id
+"""
+
+ORACLE_SQL["word_link_prediction"] = f"""
+    WITH dedges AS ({_WORD_EDGES_CTE}),
+    canon AS (SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+              FROM dedges),
+    und AS (SELECT x AS z, y AS n FROM canon
+            UNION ALL SELECT y, x FROM canon),
+    deg AS (SELECT z, COUNT(*) AS deg FROM und GROUP BY z),
+    apex AS (SELECT und.z, und.n, deg.deg FROM und
+             JOIN deg ON und.z = deg.z WHERE deg.deg <= 40),
+    wedges AS (SELECT a.n AS x, b.n AS y, a.deg FROM apex a
+               JOIN apex b ON a.z = b.z WHERE a.n < b.n),
+    open_w AS (SELECT w.x, w.y, w.deg FROM wedges w
+               ANTI JOIN canon c ON w.x = c.x AND w.y = c.y)
+    SELECT x, y, COUNT(*) AS n_common,
+           CAST(SUM(1000000000 // deg) AS BIGINT) AS ra_score_units
+    FROM open_w GROUP BY x, y
+    ORDER BY ra_score_units DESC, x, y LIMIT 25
+"""
+
+ORACLE_SQL["doc_dup_span_mass"] = """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+           FROM docs, unnest(range(1, len(toks) - 6)) r(i)
+           WHERE len(toks) >= 8),
+    dfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(CASE WHEN dfreq.df >= 2 THEN 1 END) AS n_dup_shingles,
+           (1000 * COUNT(CASE WHEN dfreq.df >= 2 THEN 1 END)) // COUNT(*)
+             AS dup_permille
+    FROM sh JOIN dfreq ON sh.g = dfreq.g
+    GROUP BY sh.doc_id
+    HAVING COUNT(CASE WHEN dfreq.df >= 2 THEN 1 END) > 0
+    ORDER BY sh.doc_id
+"""
+
+ORACLE_SQL["brand_revenue_salted"] = """
+    SELECT p_brand,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
+ORACLE_SQL["events_hopping_counts"] = """
+    WITH offs AS (SELECT unnest([0, 1, 2, 3]) AS k)
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - k * INTERVAL '30 minutes' AS window_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN offs
+    GROUP BY 1 ORDER BY 1
+"""
+
+SQL_QUERIES["doc_pii_redaction"] = q_doc_pii_redaction
+SQL_QUERIES["word_link_prediction"] = q_word_link_prediction
+SQL_QUERIES["doc_dup_span_mass"] = q_doc_dup_span_mass
+SQL_QUERIES["brand_revenue_salted"] = q_brand_revenue_salted
+SQL_QUERIES["events_hopping_counts"] = q_events_hopping_counts
