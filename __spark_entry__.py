@@ -63,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the 11 kg_* rows-only queries recorded in r2 plus one twice-green
 #     SQL query, deliberately past the budget line.
 _FRONT = [
+    "kg_incremental_merge",       # new in round 3 (self-verifying)
     "kg_streaming_first_seen",    # never recorded by any round's driver
     "kg_linking_mapping", "kg_canonical_star", "kg_minhash_near_dup_docs",
     "kg_simhash_pairs", "kg_ann_lsh_topk", "kg_ann_ivf_topk",

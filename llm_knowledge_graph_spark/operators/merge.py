@@ -29,17 +29,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _merge_by(df: DataFrame, keys: List[str]) -> DataFrame:
+def kv_level1(df: DataFrame, keys: List[str]) -> DataFrame:
+    """Level-1 fold state: one row per (*keys, property k) carrying the
+    last-writer value `v`, the WINNER's sort key `ord` and the
+    first-witness `fs`. (max_by(v, ord), max(ord), min(fs)) is an
+    associative+commutative semilattice fold, so level-1 outputs from
+    disjoint slices of the corpus can be re-folded (kv_fold) with a
+    result IDENTICAL to one global pass — the property the streaming
+    incremental merge (streaming/ingest.py) is built on."""
     ord_cols = ["url", "chunk_id"] + (["occ"] if "occ" in df.columns else [])
     order = F.struct(*[F.col(c) for c in ord_cols])
     kv = df.select(
         *keys, *ord_cols,
         F.explode_outer(F.col("properties")).alias("k", "v"),
     )
-    lvl1 = kv.groupBy(*keys, "k").agg(
+    return kv.groupBy(*keys, "k").agg(
         F.max_by("v", order).alias("v"),
+        F.max(order).alias("ord"),
         F.min(F.struct("url", "chunk_id")).alias("fs"),
     )
+
+
+def kv_fold(lvl1: DataFrame, keys: List[str]) -> DataFrame:
+    """Re-fold a union of level-1 slices into one level-1 row per
+    (*keys, k) — exact by associativity (see kv_level1)."""
+    return lvl1.groupBy(*keys, "k").agg(
+        F.max_by("v", F.col("ord")).alias("v"),
+        F.max("ord").alias("ord"),
+        F.min("fs").alias("fs"),
+    )
+
+
+def assemble_merged(lvl1: DataFrame, keys: List[str]) -> DataFrame:
+    """Level 2: reassemble the merged property map + global first-witness
+    lineage from level-1 rows."""
     entry = F.when(F.col("k").isNotNull(), F.struct("k", "v"))
     lvl2 = lvl1.groupBy(*keys).agg(
         F.map_from_entries(
@@ -52,6 +75,10 @@ def _merge_by(df: DataFrame, keys: List[str]) -> DataFrame:
         F.col("first_seen.url").alias("url"),
         F.col("first_seen.chunk_id").alias("chunk_id"),
     )
+
+
+def _merge_by(df: DataFrame, keys: List[str]) -> DataFrame:
+    return assemble_merged(kv_level1(df, keys), keys)
 
 
 def merge_nodes(nodes_raw: DataFrame) -> DataFrame:

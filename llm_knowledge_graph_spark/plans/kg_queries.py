@@ -319,7 +319,65 @@ def kg_chunk_cosine_topk(spark, sf_dir):
     return embed.chunk_cosine_topk(res.chunk_embeddings, qvec, k=10)
 
 
+def kg_incremental_merge(spark, sf_dir):
+    """Round-3 streaming MERGE parity, SELF-VERIFYING: build the KG
+    incrementally (streaming/ingest.run_incremental_merge — 40 fixture
+    pages drained as file micro-batches through foreachBatch level-1
+    merge deltas), finalize, AND run the batch build_kg on the same
+    pages; return per-type canonical node counts from the incremental
+    graph plus the symmetric-difference row counts vs the batch graph —
+    node_diff/edge_diff MUST be 0 (exact N10 MERGE associativity,
+    tests/test_incremental_kg.py proves the same on 60 pages + replay +
+    compaction). Rows-only: streaming is not ANSI-SQL."""
+    import shutil
+    import tempfile
+
+    from ..plans.pipeline import build_kg
+    from ..sources.pages import PAGES_SCHEMA, synthesize_pages
+    from ..streaming.ingest import (finalize_incremental,
+                                    run_incremental_merge)
+
+    pages = synthesize_pages(spark, 40, seed=42)
+    tmp = tempfile.mkdtemp(prefix="kg_incr_")
+    try:
+        # two deterministic file batches split on xxhash64(url) parity
+        h = F.pmod(F.xxhash64("url"), F.lit(2))
+        for b in (0, 1):
+            (pages.filter(h == b).coalesce(1)
+             .write.mode("append").parquet(f"{tmp}/pages"))
+        q = run_incremental_merge(spark, f"{tmp}/pages", f"{tmp}/state",
+                                  f"{tmp}/ckpt", max_files_per_trigger=1)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("kg_incremental_merge: stream stalled")
+        _, _, inc_nodes, inc_edges, _ = finalize_incremental(
+            spark, f"{tmp}/state")
+        batch = build_kg(spark, spark.read.parquet(f"{tmp}/pages"),
+                         PipelineConfig())
+
+        pj = F.to_json(F.sort_array(F.map_entries("properties")))
+        def key(df, cols):
+            return df.select(*cols, pj.alias("props"))
+        ncols = ["id", "type", "url", "chunk_id"]
+        ecols = ["subj", "subj_type", "pred", "obj", "obj_type",
+                 "url", "chunk_id"]
+        a_n, b_n = key(inc_nodes, ncols), key(batch.canonical_nodes, ncols)
+        a_e, b_e = key(inc_edges, ecols), key(batch.canonical_edges, ecols)
+        node_diff = a_n.exceptAll(b_n).count() + b_n.exceptAll(a_n).count()
+        edge_diff = a_e.exceptAll(b_e).count() + b_e.exceptAll(a_e).count()
+        out = (inc_nodes.groupBy("type")
+               .agg(F.count("*").alias("n_canonical_nodes"))
+               .withColumn("node_diff_vs_batch", F.lit(node_diff))
+               .withColumn("edge_diff_vs_batch", F.lit(edge_diff))
+               .orderBy("type"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 KG_QUERIES = {
+    "kg_incremental_merge": kg_incremental_merge,
     "kg_schema_samples": kg_schema_samples,
     "kg_schema_labels": kg_schema_labels,
     "kg_schema_detect": kg_schema_detect,
