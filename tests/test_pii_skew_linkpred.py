@@ -3,8 +3,6 @@ duplicated-span mass, salted two-phase aggregation, hopping windows."""
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import functions as F
 
 
@@ -107,3 +105,35 @@ def test_hopping_window_multiplicity(spark):
            .count().select(F.col("w.start").alias("s")).collect())
     starts = sorted(r["s"].strftime("%H:%M") for r in win)
     assert starts == ["08:30", "09:00", "09:30", "10:00"]
+
+
+def test_link_prediction_ra_random_graphs_property(spark):
+    """Randomized cross-check of the Spark RA wedge-join against a
+    plain-Python oracle (fixed seeds — deterministic)."""
+    import itertools
+    import random
+
+    from llm_knowledge_graph_spark.operators.components import \
+        link_prediction_ra
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(10)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                        for _ in range(14)})
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for x, y in itertools.combinations(sorted(adj), 2):
+            if y in adj[x]:
+                continue
+            common = adj[x] & adj[y]
+            if common:
+                want[(x, y)] = (len(common),
+                                sum(10 ** 9 // len(adj[z]) for z in common))
+        df = spark.createDataFrame(edges, "a string, b string")
+        got = {(r["x"], r["y"]): (r["n_common"], r["ra_score_units"])
+               for r in link_prediction_ra(df).collect()}
+        assert got == want, f"seed {seed}"
