@@ -78,7 +78,8 @@ _FRONT = [
     "word_bfs_distances", "doc_shingle_components",
     "events_asof_purchase", "events_range_join",     # new in round 3
     "doc_pii_redaction", "word_link_prediction", "doc_dup_span_mass",
-    "brand_revenue_salted", "events_hopping_counts",  # new in round 3
+    "brand_revenue_salted", "events_hopping_counts",
+    "doc_filter_funnel",                             # new in round 3
     "label_centroid_norms", "user_sessions",     # changed in round 3
 ]
 _TAIL = [

@@ -946,7 +946,7 @@ def q_events_range_join(spark, sf_dir):
         .orderBy("click_id", "purchase_id"))
 
 
-def _with_injected_pii(d):
+def _with_injected_pii(d, out_col="text"):
     """Deterministically splice synthetic PII into the corpus text —
     identically reproduced in the DuckDB oracle — so the redaction
     operator has non-trivial, per-doc-varying work to verify (the
@@ -967,7 +967,7 @@ def _with_injected_pii(d):
                             F.lpad(s((did * 13) % 10000), 4, "0"))
                    ).otherwise(F.lit(""))
     return d.withColumn(
-        "text", F.concat(F.col("text"), email, ip, phone))
+        out_col, F.concat(F.col("text"), email, ip, phone))
 
 
 def q_doc_pii_redaction(spark, sf_dir):
@@ -1046,6 +1046,48 @@ def q_events_hopping_counts(spark, sf_dir):
             .agg(F.count("*").alias("n_events"))
             .select(F.col("w.start").alias("window_start"), "n_events")
             .orderBy("window_start"))
+
+
+def q_doc_filter_funnel(spark, sf_dir):
+    """The composed training-data filter funnel — each doc gets its FIRST
+    matching drop reason (C4/Gopher-style first-match routing, so the
+    per-reason counts form a proper funnel): too_short (<20 tokens) →
+    bad_word_len (avg word length outside [3,10], exact integer compare)
+    → pii_heavy (≥3 real regex hits on the PII-injected text, the same
+    operators/pii.py patterns) → near_dup_prefix (64-char-prefix md5
+    seen on a smaller doc_id) → repetitive (distinct-token ratio <0.4,
+    integer compare) → keep. Output: (verdict, lang, n_docs). Every
+    signal is pure codegen; the only shuffles are the fingerprint
+    aggregation and the final count."""
+    from ..operators import pii
+    d = _with_injected_pii(_t(spark, sf_dir, "documents"),
+                           out_col="pii_text")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_distinct = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    n_pii = sum(F.regexp_count(F.col("pii_text"), F.lit(pat))
+                for _, pat, _ in pii.PII_PATTERNS)
+    feats = d.select(
+        "doc_id", "lang",
+        n_tok.alias("n_tok"), n_distinct.alias("n_distinct"),
+        (F.col("n_chars") - (n_tok - 1)).alias("chars_wo_sp"),
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("h"),
+        n_pii.alias("n_pii"))
+    dup = feats.groupBy("h").agg(F.min("doc_id").alias("keeper"),
+                                 F.count("*").alias("c"))
+    j = feats.join(dup, "h")
+    verdict = (
+        F.when(F.col("n_tok") < 20, "too_short")
+        .when((F.col("chars_wo_sp") < 3 * F.col("n_tok"))
+              | (F.col("chars_wo_sp") > 10 * F.col("n_tok")),
+              "bad_word_len")
+        .when(F.col("n_pii") >= 3, "pii_heavy")
+        .when((F.col("c") > 1) & (F.col("doc_id") != F.col("keeper")),
+              "near_dup_prefix")
+        .when(10 * F.col("n_distinct") < 4 * F.col("n_tok"), "repetitive")
+        .otherwise("keep"))
+    return (j.groupBy(verdict.alias("verdict"), F.col("lang"))
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("verdict", "lang"))
 
 
 def _pagerank_oracle_sql(edge_cte: str, n_iter: int = 10,
@@ -1935,3 +1977,34 @@ SQL_QUERIES["word_link_prediction"] = q_word_link_prediction
 SQL_QUERIES["doc_dup_span_mass"] = q_doc_dup_span_mass
 SQL_QUERIES["brand_revenue_salted"] = q_brand_revenue_salted
 SQL_QUERIES["events_hopping_counts"] = q_events_hopping_counts
+
+ORACLE_SQL["doc_filter_funnel"] = f"""
+    WITH pii_docs AS ({_PII_DOCS_CTE}),
+    feats AS (
+        SELECT d.doc_id, d.lang,
+               len(string_split(d.text, ' ')) AS n_tok,
+               len(list_distinct(string_split(d.text, ' '))) AS n_distinct,
+               d.n_chars - (len(string_split(d.text, ' ')) - 1) AS chars_wo_sp,
+               md5(substr(d.text, 1, 64)) AS h,
+               len(regexp_extract_all(p.text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+               + len(regexp_extract_all(p.text,
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+               + len(regexp_extract_all(p.text,
+                   '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS n_pii
+        FROM documents d JOIN pii_docs p ON d.doc_id = p.doc_id
+    ),
+    dup AS (SELECT h, MIN(doc_id) AS keeper, COUNT(*) AS c
+            FROM feats GROUP BY h)
+    SELECT CASE WHEN f.n_tok < 20 THEN 'too_short'
+                WHEN f.chars_wo_sp < 3 * f.n_tok
+                     OR f.chars_wo_sp > 10 * f.n_tok THEN 'bad_word_len'
+                WHEN f.n_pii >= 3 THEN 'pii_heavy'
+                WHEN d.c > 1 AND f.doc_id <> d.keeper THEN 'near_dup_prefix'
+                WHEN 10 * f.n_distinct < 4 * f.n_tok THEN 'repetitive'
+                ELSE 'keep' END AS verdict,
+           f.lang, COUNT(*) AS n_docs
+    FROM feats f JOIN dup d ON f.h = d.h
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+SQL_QUERIES["doc_filter_funnel"] = q_doc_filter_funnel
