@@ -80,6 +80,8 @@ _FRONT = [
     "doc_pii_redaction", "word_link_prediction", "doc_dup_span_mass",
     "brand_revenue_salted", "events_hopping_counts",
     "doc_filter_funnel",                             # new in round 3
+    "doc_pack_bins", "lang_temperature_weights",     # new in round 3
+    "events_funnel",                                 # new in round 3
     "label_centroid_norms", "user_sessions",     # changed in round 3
 ]
 _TAIL = [

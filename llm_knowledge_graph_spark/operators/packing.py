@@ -1,0 +1,98 @@
+"""Sequence packing and sampling-weight operators for training-data
+pipelines.
+
+Neither exists in the reference (it feeds chunks to an LLM one at a
+time), but both are core pre-training data-prep steps the build brief
+asks for as first-class ops:
+
+* :func:`pack_concat_chunk` — GPT-style "concatenate and chunk"
+  sequence packing: documents are laid out in a deterministic order
+  inside each stream and cut into fixed-capacity token bins; a
+  document whose tokens straddle a boundary spills into the next bin.
+  The per-doc bin assignment (the bin holding the doc's FIRST token)
+  plus the spill mass is what a packer audit needs.
+
+* :func:`temperature_weights` — multilingual temperature sampling
+  (the mBERT/XLM-R alpha-exponent rebalancing, alpha = 0.5) with
+  all-integer arithmetic so the weights are bit-identical across
+  engines: share_ppm is an integer parts-per-million token share,
+  the exponent is floor(sqrt(share_ppm)) (IEEE sqrt of an integer is
+  exactly rounded, so its floor is deterministic), and the final
+  weight is an integer ppm renormalization of those square roots.
+
+Scale notes (100 TB): the packing cumsum is a window PARTITIONED BY
+the stream column — one stream per (language, shard) in a real corpus
+— so no global ordering is ever materialized and each stream's scan
+is independent; skew is bounded by the largest single stream, which
+the caller controls by sharding. temperature_weights aggregates to
+one row per language (map-side combinable) and cross-joins a 1-row
+total — a broadcast by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_concat_chunk(df: DataFrame, stream_col: str, order_col: str,
+                      n_tok: Column, capacity: int) -> DataFrame:
+    """Assign each row to its concat-and-chunk bin within its stream.
+
+    Returns the input columns plus ``n_tok``, ``pack_start`` (tokens
+    laid out before this doc in its stream), ``bin_id`` (the bin the
+    doc's first token lands in) and ``spill_tokens`` (tokens of this
+    doc flowing past its start bin's boundary — 0 when it fits).
+    """
+    w = (Window.partitionBy(stream_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (df.withColumn("n_tok", n_tok.cast("long"))
+           .withColumn("pack_start",
+                       F.coalesce(F.sum("n_tok").over(w), F.lit(0))))
+    bin_id = F.expr(f"pack_start div {capacity}")
+    return (out.withColumn("bin_id", bin_id)
+            .withColumn(
+                "spill_tokens",
+                F.greatest(
+                    F.col("pack_start") + F.col("n_tok")
+                    - (bin_id + 1) * capacity,
+                    F.lit(0).cast("long"))))
+
+
+def pack_bin_stats(df: DataFrame, stream_col: str, order_col: str,
+                   n_tok: Column, capacity: int) -> DataFrame:
+    """Per-(stream, bin) packing audit: docs started, token mass of
+    those docs, and the spill mass crossing the bin's right boundary."""
+    packed = pack_concat_chunk(df, stream_col, order_col, n_tok, capacity)
+    return (packed.groupBy(stream_col, "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens_started"),
+        F.sum("spill_tokens").alias("n_spill_tokens")))
+
+
+def temperature_weights(df: DataFrame, lang_col: str,
+                        n_tok: Column) -> DataFrame:
+    """Integer-exact alpha=0.5 temperature sampling weights per language.
+
+    Output: (lang, n_docs, n_tokens, share_ppm, isqrt_share,
+    weight_ppm) — weight_ppm is 1e6 * floor(sqrt(share_ppm)) div the
+    sum of those integer square roots, so low-resource languages are
+    up-sampled exactly as the alpha-exponent rule prescribes while
+    every emitted number stays a 64-bit integer.
+    """
+    per_lang = (df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok.cast("long")).alias("n_tokens")))
+    tot = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    sh = (per_lang.crossJoin(F.broadcast(tot))
+          .withColumn("share_ppm",
+                      F.expr("1000000 * n_tokens div total_tokens"))
+          .withColumn("isqrt_share",
+                      F.floor(F.sqrt(F.col("share_ppm").cast("double")))
+                      .cast("long")))
+    stot = sh.agg(F.sum("isqrt_share").alias("isqrt_total"))
+    return (sh.crossJoin(F.broadcast(stot))
+            .select("lang", "n_docs", "n_tokens", "share_ppm",
+                    "isqrt_share",
+                    F.expr("1000000 * isqrt_share div isqrt_total")
+                    .alias("weight_ppm")))

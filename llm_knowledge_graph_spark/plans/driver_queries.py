@@ -2008,3 +2008,151 @@ ORACLE_SQL["doc_filter_funnel"] = f"""
     GROUP BY 1, 2 ORDER BY 1, 2
 """
 SQL_QUERIES["doc_filter_funnel"] = q_doc_filter_funnel
+
+
+def q_doc_pack_bins(spark, sf_dir):
+    """Concat-and-chunk sequence packing audit (packing.pack_bin_stats):
+    per-language streams ordered by doc_id, 256-token bins; for each
+    (lang, bin) the docs started there, their token mass, and the spill
+    crossing the bin boundary. The cumsum window is PARTITIONED BY lang
+    (the stream), so nothing ever orders globally — at 100 TB streams
+    are (lang, shard) and each packs independently."""
+    from ..operators.packing import pack_bin_stats
+    d = _t(spark, sf_dir, "documents")
+    return (pack_bin_stats(d, "lang", "doc_id",
+                           F.size(F.split(F.col("text"), " ")),
+                           capacity=256)
+            .orderBy("lang", "bin_id"))
+
+
+def q_lang_temperature_weights(spark, sf_dir):
+    """alpha=0.5 multilingual temperature-sampling weights
+    (packing.temperature_weights): integer ppm token shares, the
+    floor-sqrt exponent (IEEE sqrt of an integer is exactly rounded on
+    both engines), and an integer ppm renormalization — low-resource
+    langs up-weighted, every output a BIGINT. One row per lang; both
+    totals ride broadcast cross joins."""
+    from ..operators.packing import temperature_weights
+    d = _t(spark, sf_dir, "documents")
+    return (temperature_weights(
+        d, "lang", F.size(F.split(F.col("text"), " ")))
+        .orderBy("lang"))
+
+
+def q_events_funnel(spark, sf_dir):
+    """Staged conversion funnel: per user the first 'view', the first
+    'click' within 1 day AFTER that view, the first 'purchase' within
+    1 day after that click; output (stage, n_users, total_conv_us).
+    Each stage is an equi-join on user_id with a range residual plus a
+    min-aggregation — partial-aggregable, no theta join, no window over
+    a global order; conversion gaps are exact integer microseconds."""
+    from ..operators.temporal import epoch_us
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 1 DAY")
+
+    def first_after(prev, prev_ts, etype):
+        nxt = (ev.filter(F.col("event_type") == etype)
+               .select("user_id", F.col("ts").alias("_nxt_ts")))
+        return (prev.join(nxt, "user_id")
+                .filter((F.col("_nxt_ts") > F.col(prev_ts))
+                        & (F.col("_nxt_ts") <= F.col(prev_ts) + day))
+                .groupBy("user_id", prev_ts)
+                .agg(F.min("_nxt_ts").alias(etype + "_ts")))
+
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("view_ts")))
+    clicks = first_after(views, "view_ts", "click")
+    purch = first_after(clicks.select("user_id", "click_ts"),
+                        "click_ts", "purchase")
+
+    def stage(df, name, a, b):
+        gap = (F.lit(0).cast("long") if a is None
+               else epoch_us(F.col(b)) - epoch_us(F.col(a)))
+        return (df.agg(F.count("*").alias("n_users"),
+                       F.sum(gap).alias("total_conv_us"))
+                .select(F.lit(name).alias("stage"), "n_users",
+                        "total_conv_us"))
+
+    return (stage(views, "1_view", None, None)
+            .unionByName(stage(clicks, "2_click", "view_ts", "click_ts"))
+            .unionByName(stage(purch, "3_purchase", "click_ts",
+                               "purchase_ts"))
+            .orderBy("stage"))
+
+
+ORACLE_SQL["doc_pack_bins"] = """
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start
+        FROM toks
+    )
+    SELECT lang, CAST(start // 256 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens_started,
+           CAST(SUM(GREATEST(start + n_tok - (start // 256 + 1) * 256, 0))
+             AS BIGINT) AS n_spill_tokens
+    FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["lang_temperature_weights"] = """
+    WITH per_lang AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM per_lang),
+    sh AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(1000000 * n_tokens // total_tokens AS BIGINT)
+                 AS share_ppm
+        FROM per_lang CROSS JOIN tot
+    ),
+    isq AS (
+        SELECT lang, n_docs, n_tokens, share_ppm,
+               CAST(FLOOR(SQRT(CAST(share_ppm AS DOUBLE))) AS BIGINT)
+                 AS isqrt_share
+        FROM sh
+    ),
+    stot AS (SELECT CAST(SUM(isqrt_share) AS BIGINT) AS s FROM isq)
+    SELECT lang, n_docs, n_tokens, share_ppm, isqrt_share,
+           CAST(1000000 * isqrt_share // s AS BIGINT) AS weight_ppm
+    FROM isq CROSS JOIN stot ORDER BY lang
+"""
+
+ORACLE_SQL["events_funnel"] = """
+    WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c1 AS (SELECT v.user_id, v.view_ts, MIN(e.ts) AS click_ts
+           FROM v JOIN events e ON e.user_id = v.user_id
+             AND e.event_type = 'click' AND e.ts > v.view_ts
+             AND e.ts <= v.view_ts + INTERVAL 1 DAY
+           GROUP BY v.user_id, v.view_ts),
+    p AS (SELECT c1.user_id, c1.click_ts, MIN(e.ts) AS purchase_ts
+          FROM c1 JOIN events e ON e.user_id = c1.user_id
+            AND e.event_type = 'purchase' AND e.ts > c1.click_ts
+            AND e.ts <= c1.click_ts + INTERVAL 1 DAY
+          GROUP BY c1.user_id, c1.click_ts)
+    SELECT '1_view' AS stage, COUNT(*) AS n_users,
+           CAST(0 AS BIGINT) AS total_conv_us FROM v
+    UNION ALL
+    SELECT '2_click', COUNT(*),
+           CAST(SUM(epoch_us(click_ts) - epoch_us(view_ts)) AS BIGINT)
+    FROM c1
+    UNION ALL
+    SELECT '3_purchase', COUNT(*),
+           CAST(SUM(epoch_us(purchase_ts) - epoch_us(click_ts)) AS BIGINT)
+    FROM p
+    ORDER BY stage
+"""
+
+SQL_QUERIES["doc_pack_bins"] = q_doc_pack_bins
+SQL_QUERIES["lang_temperature_weights"] = q_lang_temperature_weights
+SQL_QUERIES["events_funnel"] = q_events_funnel

@@ -1,0 +1,80 @@
+"""Sequence packing (operators/packing.py) and the events funnel.
+
+The packing test pins the concat-and-chunk contract to a hand-computed
+layout; the temperature-weight test checks the alpha=0.5 rebalancing
+invariants (integer outputs, low-resource up-weighting, ppm
+normalization); the funnel test checks stage monotonicity plus the
+within-window ordering constraints on the sf0.001 events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_knowledge_graph_spark.operators.packing import (
+    pack_bin_stats, pack_concat_chunk, temperature_weights)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pack_concat_chunk_hand_computed(spark):
+    # Stream layout (capacity 10): doc 1 (7 tok) fills [0,7); doc 2
+    # (6 tok) starts at 7 in bin 0 and spills 3 into bin 1; doc 3
+    # (12 tok) starts at 13 in bin 1 and spills 5 past bin 1's edge;
+    # doc 4 (2 tok) starts at 25 in bin 2 and fits.
+    rows = [(1, "s", 7), (2, "s", 6), (3, "s", 12), (4, "s", 2),
+            (10, "t", 10)]  # second stream: exactly one full bin
+    df = spark.createDataFrame(rows, "doc_id long, stream string, k long")
+    out = pack_concat_chunk(df, "stream", "doc_id", F.col("k"),
+                            capacity=10)
+    got = {(r.stream, r.doc_id): (r.pack_start, r.bin_id, r.spill_tokens)
+           for r in out.collect()}
+    assert got[("s", 1)] == (0, 0, 0)
+    assert got[("s", 2)] == (7, 0, 3)
+    assert got[("s", 3)] == (13, 1, 5)
+    assert got[("s", 4)] == (25, 2, 0)
+    assert got[("t", 10)] == (0, 0, 0)
+
+    stats = {(r.stream, r.bin_id): (r.n_docs, r.n_tokens_started,
+                                    r.n_spill_tokens)
+             for r in pack_bin_stats(df, "stream", "doc_id", F.col("k"),
+                                     capacity=10).collect()}
+    assert stats[("s", 0)] == (2, 13, 3)
+    assert stats[("s", 1)] == (1, 12, 5)
+    assert stats[("s", 2)] == (1, 2, 0)
+    assert stats[("t", 0)] == (1, 10, 0)
+
+
+def test_temperature_weights_invariants(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = temperature_weights(
+        docs, "lang", F.size(F.split(F.col("text"), " "))).collect()
+    assert len({r.lang for r in out}) == len(out) >= 2
+    total_share = sum(r.share_ppm for r in out)
+    assert 1_000_000 - len(out) <= total_share <= 1_000_000
+    total_w = sum(r.weight_ppm for r in out)
+    assert 1_000_000 - len(out) <= total_w <= 1_000_000
+    # alpha=0.5 flattens: the dominant language's weight share must be
+    # strictly below its token share; the smallest strictly above.
+    hi = max(out, key=lambda r: r.n_tokens)
+    lo = min(out, key=lambda r: r.n_tokens)
+    assert hi.weight_ppm < hi.share_ppm
+    assert lo.weight_ppm > lo.share_ppm
+    for r in out:  # everything is integer-typed
+        assert isinstance(r.share_ppm, int) and isinstance(r.weight_ppm, int)
+
+
+def test_events_funnel_monotone_and_windowed(spark):
+    from llm_knowledge_graph_spark.plans.driver_queries import (
+        q_events_funnel)
+    out = {r.stage: r for r in q_events_funnel(spark, SF_DIR).collect()}
+    assert set(out) == {"1_view", "2_click", "3_purchase"}
+    assert (out["1_view"].n_users >= out["2_click"].n_users
+            >= out["3_purchase"].n_users)
+    assert out["1_view"].total_conv_us == 0
+    # every conversion gap is within (0, 1 day] so the per-stage total
+    # is bounded by n_users * 86400s
+    for s in ("2_click", "3_purchase"):
+        n, tot = out[s].n_users, out[s].total_conv_us
+        if n:
+            assert 0 < tot <= n * 86_400_000_000
