@@ -24,9 +24,10 @@ Scale notes (100 TB): the packing cumsum is a window PARTITIONED BY
 the stream column — one stream per (language, shard) in a real corpus
 — so no global ordering is ever materialized and each stream's scan
 is independent; skew is bounded by the largest single stream, which
-the caller controls by sharding. temperature_weights aggregates to
-one row per language (map-side combinable) and cross-joins a 1-row
-total — a broadcast by construction.
+the caller controls by sharding. temperature_weights scans the corpus
+exactly once (a map-side-combinable per-language agg); the share and
+renormalization totals are unpartitioned windows over the resulting
+≤#langs-row frame, never over the corpus.
 """
 
 from __future__ import annotations
@@ -83,15 +84,20 @@ def temperature_weights(df: DataFrame, lang_col: str,
     per_lang = (df.groupBy(F.col(lang_col).alias("lang")).agg(
         F.count("*").alias("n_docs"),
         F.sum(n_tok.cast("long")).alias("n_tokens")))
-    tot = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
-    sh = (per_lang.crossJoin(F.broadcast(tot))
+    # The corpus is scanned exactly ONCE (the agg above); everything
+    # below runs on the ≤#langs-row aggregate, where an unpartitioned
+    # window is a deliberate single-partition pass over ~100 rows —
+    # NOT over the corpus.
+    everything = Window.partitionBy()
+    sh = (per_lang
+          .withColumn("total_tokens", F.sum("n_tokens").over(everything))
           .withColumn("share_ppm",
                       F.expr("1000000 * n_tokens div total_tokens"))
           .withColumn("isqrt_share",
                       F.floor(F.sqrt(F.col("share_ppm").cast("double")))
                       .cast("long")))
-    stot = sh.agg(F.sum("isqrt_share").alias("isqrt_total"))
-    return (sh.crossJoin(F.broadcast(stot))
+    return (sh.withColumn("isqrt_total",
+                          F.sum("isqrt_share").over(everything))
             .select("lang", "n_docs", "n_tokens", "share_ppm",
                     "isqrt_share",
                     F.expr("1000000 * isqrt_share div isqrt_total")

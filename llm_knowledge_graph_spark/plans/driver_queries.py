@@ -2030,8 +2030,8 @@ def q_lang_temperature_weights(spark, sf_dir):
     (packing.temperature_weights): integer ppm token shares, the
     floor-sqrt exponent (IEEE sqrt of an integer is exactly rounded on
     both engines), and an integer ppm renormalization — low-resource
-    langs up-weighted, every output a BIGINT. One row per lang; both
-    totals ride broadcast cross joins."""
+    langs up-weighted, every output a BIGINT. ONE corpus scan; the two
+    totals are windows over the tiny per-lang aggregate."""
     from ..operators.packing import temperature_weights
     d = _t(spark, sf_dir, "documents")
     return (temperature_weights(
@@ -2059,9 +2059,15 @@ def q_events_funnel(spark, sf_dir):
                 .groupBy("user_id", prev_ts)
                 .agg(F.min("_nxt_ts").alias(etype + "_ts")))
 
+    # Each per-user stage frame feeds TWO consumers (the next stage's
+    # join and its own stage() count); localCheckpoint pins the tiny
+    # (≤ one row per user) result so the events scan behind it runs
+    # once, not once per consumer.
     views = (ev.filter(F.col("event_type") == "view")
-             .groupBy("user_id").agg(F.min("ts").alias("view_ts")))
-    clicks = first_after(views, "view_ts", "click")
+             .groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+             .localCheckpoint(eager=False))
+    clicks = first_after(views, "view_ts", "click").localCheckpoint(
+        eager=False)
     purch = first_after(clicks.select("user_id", "click_ts"),
                         "click_ts", "purchase")
 
