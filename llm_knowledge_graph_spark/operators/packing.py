@@ -102,3 +102,44 @@ def temperature_weights(df: DataFrame, lang_col: str,
                     "isqrt_share",
                     F.expr("1000000 * isqrt_share div isqrt_total")
                     .alias("weight_ppm")))
+
+
+def temperature_sample_rates(weights: DataFrame) -> DataFrame:
+    """Per-language acceptance rates that realize the temperature
+    distribution by pure subsampling (no upsampling): rate ∝
+    weight/share, normalized so the most up-weighted language keeps
+    everything. All-integer: the ratio rides 1e12-scaled fixed point,
+    the max is a window over the ≤#langs-row frame."""
+    r = weights.withColumn(
+        "ratio_q", F.expr("1000000000000 * weight_ppm div share_ppm"))
+    return (r.withColumn("ratio_max",
+                         F.max("ratio_q").over(Window.partitionBy()))
+            .select("lang",
+                    F.expr("1000000 * ratio_q div ratio_max")
+                    .alias("rate_ppm")))
+
+
+def temperature_resample(docs: DataFrame, rates: DataFrame,
+                         lang_col: str, id_col: str,
+                         width: int = 5) -> DataFrame:
+    """Filter ``docs`` to the temperature-resampled corpus: a doc
+    survives iff the first ``width`` hex chars of md5(id) fall below
+    its language's rate threshold (fixed-length lowercase hex compares
+    lexicographically == numerically; md5 is lowercase on both
+    engines; a full rate maps to the sentinel 'g', above every hex
+    string, so nothing is dropped by threshold truncation). The rates
+    frame is tiny (one row per language) and broadcast; the decision
+    is a pure projection — shuffle-free, stable under corpus growth
+    (a doc's fate never depends on its neighbors)."""
+    buckets = 16 ** width
+    thr_hex = F.when(F.col("rate_ppm") >= 1_000_000, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(
+            F.expr(f"rate_ppm * {buckets} div 1000000")), width, "0")))
+    r = rates.select(F.col("lang").alias("_rate_lang"), "rate_ppm",
+                     thr_hex.alias("_thr_hex"))
+    keep = (F.substring(F.md5(F.col(id_col).cast("string")), 1, width)
+            < F.col("_thr_hex"))
+    return (docs.join(F.broadcast(r),
+                      docs[lang_col] == F.col("_rate_lang"))
+            .filter(keep)
+            .drop("_rate_lang", "_thr_hex"))

@@ -2162,3 +2162,75 @@ ORACLE_SQL["events_funnel"] = """
 SQL_QUERIES["doc_pack_bins"] = q_doc_pack_bins
 SQL_QUERIES["lang_temperature_weights"] = q_lang_temperature_weights
 SQL_QUERIES["events_funnel"] = q_events_funnel
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """The sampler that makes the temperature weights actionable:
+    per-language acceptance rates ∝ weight/share normalized so the
+    most up-weighted language keeps everything, applied as a
+    deterministic md5 5-hex-char threshold (packing.temperature_
+    sample_rates + temperature_resample). Two corpus passes by design
+    — pass 1 is the stats agg, pass 2 the shuffle-free filter; the
+    rates ride a broadcast. Output: (lang, n_total, rate_ppm,
+    n_kept)."""
+    from ..operators.packing import (temperature_resample,
+                                     temperature_sample_rates,
+                                     temperature_weights)
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = temperature_weights(d, "lang", n_tok).localCheckpoint(eager=False)
+    rates = temperature_sample_rates(w)
+    kept = (temperature_resample(d, rates, "lang", "doc_id")
+            .groupBy("lang").agg(F.count("*").alias("n_kept")))
+    return (w.select("lang", F.col("n_docs").alias("n_total"))
+            .join(rates, "lang")
+            .join(kept, "lang", "left")
+            .select("lang", "n_total", "rate_ppm",
+                    F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+                    .alias("n_kept"))
+            .orderBy("lang"))
+
+
+ORACLE_SQL["doc_stratified_sample"] = """
+    WITH per_lang AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM per_lang),
+    sh AS (SELECT lang, n_docs,
+                  CAST(1000000 * n_tokens // total_tokens AS BIGINT)
+                    AS share_ppm
+           FROM per_lang CROSS JOIN tot),
+    isq AS (SELECT lang, n_docs, share_ppm,
+                   CAST(FLOOR(SQRT(CAST(share_ppm AS DOUBLE))) AS BIGINT)
+                     AS isqrt_share
+            FROM sh),
+    stot AS (SELECT CAST(SUM(isqrt_share) AS BIGINT) AS s FROM isq),
+    w AS (SELECT lang, n_docs, share_ppm,
+                 CAST(1000000 * isqrt_share // s AS BIGINT) AS weight_ppm
+          FROM isq CROSS JOIN stot),
+    rr AS (SELECT lang, n_docs,
+                  CAST(1000000000000 * weight_ppm // share_ppm AS BIGINT)
+                    AS ratio_q
+           FROM w),
+    rmax AS (SELECT MAX(ratio_q) AS m FROM rr),
+    rates AS (SELECT lang, n_docs,
+                     CAST(1000000 * ratio_q // m AS BIGINT) AS rate_ppm
+              FROM rr CROSS JOIN rmax),
+    kept AS (
+        SELECT d.lang, COUNT(*) AS n_kept
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)
+              < CASE WHEN r.rate_ppm >= 1000000 THEN 'g'
+                     ELSE lower(lpad(hex(r.rate_ppm * 1048576 // 1000000),
+                                     5, '0')) END
+        GROUP BY d.lang
+    )
+    SELECT rates.lang, rates.n_docs AS n_total, rates.rate_ppm,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates LEFT JOIN kept ON rates.lang = kept.lang
+    ORDER BY rates.lang
+"""
+SQL_QUERIES["doc_stratified_sample"] = q_doc_stratified_sample

@@ -64,6 +64,31 @@ def test_temperature_weights_invariants(spark):
         assert isinstance(r.share_ppm, int) and isinstance(r.weight_ppm, int)
 
 
+def test_temperature_resample_invariants(spark):
+    from llm_knowledge_graph_spark.operators.packing import (
+        temperature_resample, temperature_sample_rates)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = temperature_weights(docs, "lang", n_tok)
+    rates = temperature_sample_rates(w)
+    rrows = {r.lang: r.rate_ppm for r in rates.collect()}
+    # the most up-weighted language keeps everything; every rate ≤ 1e6
+    assert max(rrows.values()) == 1_000_000
+    assert all(0 < v <= 1_000_000 for v in rrows.values())
+    kept = temperature_resample(docs, rates, "lang", "doc_id")
+    per = {r.lang: r.n for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r.lang: r.n for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = [l for l, v in rrows.items() if v == 1_000_000]
+    for lang in full:  # rate 1e6 ⇒ nothing dropped (the 'g' sentinel)
+        assert per[lang] == tot[lang]
+    # subsampling only, and deterministic across invocations
+    assert all(per.get(l, 0) <= tot[l] for l in tot)
+    again = temperature_resample(docs, rates, "lang", "doc_id").count()
+    assert again == sum(per.values())
+
+
 def test_events_funnel_monotone_and_windowed(spark):
     from llm_knowledge_graph_spark.plans.driver_queries import (
         q_events_funnel)
