@@ -2234,3 +2234,62 @@ ORACLE_SQL["doc_stratified_sample"] = """
     ORDER BY rates.lang
 """
 SQL_QUERIES["doc_stratified_sample"] = q_doc_stratified_sample
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer vocabulary construction: 8 BPE merge iterations over
+    the corpus word-frequency table (operators/bpe.py — pinned merge
+    contract: weighted pair counts, (count DESC, left, right) argmax,
+    two literal left-to-right replace sweeps per merge). The corpus is
+    scanned once; each iteration is a vocab-sized pair-count agg plus a
+    1-row driver argmax. Value-verified against an 8x-unrolled SQL twin
+    — the second iterative algorithm (after word_pagerank) with a FULL
+    value hash."""
+    from ..operators.bpe import bpe_merges, word_frequencies
+    d = _t(spark, sf_dir, "documents")
+    return (bpe_merges(spark, word_frequencies(d), n_merges=8)
+            .withColumn("iter", F.col("iter").cast("long"))
+            .orderBy("iter"))
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled SQL twin of operators/bpe.bpe_merges: one pair-count +
+    argmax + double-replace CTE trio per iteration, identical merge
+    contract (DuckDB's replace is the same left-to-right non-overlap
+    sweep as Spark's — verified incl. regex metachars and CJK)."""
+    parts = [
+        "WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t"
+        " WHERE w <> '' GROUP BY w),",
+        "s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')"
+        " || ' ' AS seq, freq FROM words),",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"p{i} AS (SELECT sym[i] AS a, sym[i+1] AS b,"
+            f" CAST(SUM(freq) AS BIGINT) AS c FROM"
+            f" (SELECT string_split(trim(seq), ' ') AS sym, freq"
+            f" FROM s{i - 1}) t,"
+            f" unnest(range(1, len(sym))) r(i) GROUP BY 1, 2),")
+        parts.append(
+            f"m{i} AS (SELECT a, b, c FROM p{i}"
+            f" ORDER BY c DESC, a, b LIMIT 1),")
+        if i < n_merges:
+            parts.append(
+                f"s{i} AS (SELECT replace(replace(s{i - 1}.seq,"
+                f" ' ' || m{i}.a || ' ' || m{i}.b || ' ',"
+                f" ' ' || m{i}.a || m{i}.b || ' '),"
+                f" ' ' || m{i}.a || ' ' || m{i}.b || ' ',"
+                f" ' ' || m{i}.a || m{i}.b || ' ') AS seq, freq"
+                f" FROM s{i - 1} CROSS JOIN m{i}),")
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS iter, a AS left_sym,"
+        f" b AS right_sym, c AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)]
+    parts.append(" UNION ALL ".join(selects) + " ORDER BY iter")
+    return "\n".join(parts)
+
+
+ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql(8)
+SQL_QUERIES["bpe_merges"] = q_bpe_merges
