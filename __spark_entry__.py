@@ -82,7 +82,7 @@ _FRONT = [
     "doc_filter_funnel",                             # new in round 3
     "doc_pack_bins", "lang_temperature_weights",     # new in round 3
     "events_funnel", "doc_stratified_sample",        # new in round 3
-    "bpe_merges",                                    # new in round 3
+    "bpe_merges", "bpe_compression",                 # new in round 3
     "label_centroid_norms", "user_sessions",     # changed in round 3
 ]
 _TAIL = [

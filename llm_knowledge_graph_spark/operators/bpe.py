@@ -81,3 +81,21 @@ def bpe_merges(spark: SparkSession, words: DataFrame,
     return spark.createDataFrame(
         merges, "iter int, left_sym string, right_sym string, "
                 "pair_count long")
+
+
+def encode_words(words: DataFrame, merges: list,
+                 word_col: str = "word") -> DataFrame:
+    """Apply a learned merge list to a vocabulary: adds ``n_tokens``
+    (symbols after all merges, in training order, same two-sweep
+    contract) and ``n_chars``. A pure projection over the vocab — at
+    scale this runs once per DISTINCT word, never per occurrence, and
+    the merge list itself is driver-side tiny (one row per merge)."""
+    seq = F.concat(F.lit(" "),
+                   F.concat_ws(" ", F.split(F.col(word_col), "")),
+                   F.lit(" "))
+    for a, b in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        seq = F.replace(F.replace(seq, pat, rep), pat, rep)
+    return words.withColumn(
+        "n_tokens", F.size(F.split(F.trim(seq), " ")).cast("long")
+    ).withColumn("n_chars", F.length(F.col(word_col)).cast("long"))

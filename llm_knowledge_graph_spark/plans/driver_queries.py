@@ -2293,3 +2293,70 @@ def _bpe_oracle_sql(n_merges: int) -> str:
 
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql(8)
 SQL_QUERIES["bpe_merges"] = q_bpe_merges
+
+
+def q_bpe_compression(spark, sf_dir):
+    """Train-then-apply: the 8 learned merges encode the per-language
+    vocabulary (bpe.encode_words — a vocab-sized projection, never
+    per-occurrence work) and corpus frequencies weight the result into
+    per-lang chars/tokens/compression-permille. The whole encode is
+    driver-parameterized by the 8-row merge table."""
+    from ..operators.bpe import (bpe_merges, encode_words,
+                                 word_frequencies)
+    d = _t(spark, sf_dir, "documents")
+    merges = [(r.left_sym, r.right_sym) for r in
+              bpe_merges(spark, word_frequencies(d), n_merges=8)
+              .orderBy("iter").collect()]
+    wl = (d.select("lang", F.explode(F.split(F.col("text"), " "))
+                   .alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("lang", "word").agg(F.count("*").alias("freq")))
+    enc = encode_words(wl, merges)
+    return (enc.groupBy("lang").agg(
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_chars")).alias("n_chars"),
+        F.sum(F.col("freq") * F.col("n_tokens")).alias("n_tokens"))
+        .withColumn("compression_permille",
+                    F.expr("1000 * n_tokens div n_chars"))
+        .orderBy("lang"))
+
+
+def _bpe_compression_oracle_sql(n_merges: int) -> str:
+    """Extends the unrolled bpe_merges twin: after m1..mN, a per-(lang,
+    word) vocabulary is encoded by the same chained double-replace CTEs
+    and frequency-weighted into per-lang compression stats."""
+    base = _bpe_oracle_sql(n_merges)
+    prefix = base[:base.rindex("SELECT CAST(1 AS BIGINT)")]
+    prefix = prefix.rstrip().rstrip(",") + ","
+    parts = [
+        prefix,
+        "wl AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq FROM"
+        " (SELECT lang, unnest(string_split(text, ' ')) AS w"
+        " FROM documents) t WHERE w <> '' GROUP BY lang, w),",
+        "e0 AS (SELECT lang, freq, CAST(len(w) AS BIGINT) AS n_chars,"
+        " ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq"
+        " FROM wl),",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"e{i} AS (SELECT lang, freq, n_chars,"
+            f" replace(replace(e{i - 1}.seq,"
+            f" ' ' || m{i}.a || ' ' || m{i}.b || ' ',"
+            f" ' ' || m{i}.a || m{i}.b || ' '),"
+            f" ' ' || m{i}.a || ' ' || m{i}.b || ' ',"
+            f" ' ' || m{i}.a || m{i}.b || ' ') AS seq"
+            f" FROM e{i - 1} CROSS JOIN m{i}),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,"
+        f" CAST(SUM(freq * n_chars) AS BIGINT) AS n_chars,"
+        f" CAST(SUM(freq * len(string_split(trim(seq), ' '))) AS BIGINT)"
+        f" AS n_tokens,"
+        f" CAST(1000 * SUM(freq * len(string_split(trim(seq), ' ')))"
+        f" // SUM(freq * n_chars) AS BIGINT) AS compression_permille"
+        f" FROM e{n_merges} GROUP BY lang ORDER BY lang")
+    return "\n".join(parts)
+
+
+ORACLE_SQL["bpe_compression"] = _bpe_compression_oracle_sql(8)
+SQL_QUERIES["bpe_compression"] = q_bpe_compression

@@ -50,3 +50,19 @@ def test_word_frequencies_and_full_corpus_merges(spark):
     # first merge must be the most frequent pair: (a,t) freq 3 vs (t,h) 3
     # vs (h,e) 3 — tie broken ascending: ('a','t')
     assert got[0][1:3] == ("a", "t")
+
+
+def test_encode_words_applies_merges_in_order(spark):
+    from llm_knowledge_graph_spark.operators.bpe import encode_words
+    words = spark.createDataFrame(
+        [("merger",), ("hello",), ("x",)], "word string")
+    # merges learned elsewhere: er, then m+er (uses the er symbol)
+    enc = {r.word: (r.n_tokens, r.n_chars) for r in
+           encode_words(words, [("e", "r"), ("m", "er")]).collect()}
+    assert enc["merger"] == (3, 6)   # mer g er
+    assert enc["hello"] == (5, 5)    # untouched
+    assert enc["x"] == (1, 1)
+    # more merges never increases token count
+    enc2 = {r.word: r.n_tokens for r in
+            encode_words(words, [("e", "r")]).collect()}
+    assert all(enc[w][0] <= enc2[w] for w in enc2)
