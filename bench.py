@@ -5,6 +5,12 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Headline set = the KG-construction pipeline (the engine's flagship job,
 timed end-to-end as kg_build) + representative operators from each family
 (scan+agg, star join, window dedup, text analysis, near-dup, similarity).
+
+Cross-round accounting: round 2 added legal_citations +
+doc_classification to the round-1 set; round 3 added doc_filter_funnel +
+bpe_merges (~2-4s combined) — compare totals across rounds net of the
+additions, and per-query mins (not totals) for drift. Numbers are
+min-of-N in-process repeats; the host itself drifts 25-40%.
 """
 
 from __future__ import annotations
@@ -85,6 +91,8 @@ def main() -> None:
         "ngram_jaccard_pairs", "cosine_topk", "knn_join",
         # round-2 operator families: regex NER + keyword classification
         "legal_citations", "doc_classification",
+        # round-3 families: composed filter funnel + iterative BPE train
+        "doc_filter_funnel", "bpe_merges",
     ]
     for name in bench_sql:
         fn = DQ.SQL_QUERIES[name]
