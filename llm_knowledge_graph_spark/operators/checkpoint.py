@@ -104,7 +104,24 @@ def run_stage_resumable(
                 f"n_buckets={n_buckets}, key_col={key_col!r}"
             )
     done = set(manifest.get("completed", [])) if manifest else set()
+    manifest_schema = manifest.get("schema") if manifest else None
     pending = [b for b in range(n_buckets) if b not in done]
+
+    # fail FAST on stage-schema drift, BEFORE the torn-state repair below
+    # deletes anything: resuming a checkpoint whose completed buckets were
+    # written by an older stage_fn (e.g. the round-3 `occ` column added to
+    # the extract flat schema) would otherwise mix two schemas in one
+    # dataset — old rows silently null-fill the new columns on read. The
+    # probe is plan-only (limit(0) → schema), no job runs.
+    if manifest_schema is not None and done and pending:
+        probe_schema = stage_fn(inp.limit(0)).schema.json()
+        if probe_schema != manifest_schema:
+            raise ValueError(
+                f"checkpoint resume mismatch for {stage_dir}: the stage "
+                f"output schema changed since the completed buckets were "
+                f"written (recorded {manifest_schema} != current "
+                f"{probe_schema}); discard the checkpoint or use a new "
+                f"run_id")
 
     # torn-state repair: a crash AFTER the parquet append but BEFORE the
     # manifest commit leaves orphan data for still-pending buckets; a

@@ -240,7 +240,8 @@ def simhash_near_dups(docs: DataFrame, key_col: str, text_col: str = "text",
 
 def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.40,
-                   pairs: DataFrame | None = None) -> DataFrame:
+                   pairs: DataFrame | None = None,
+                   driver_threshold: int = 200_000) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): near-duplicate pairs by embedding cosine →
     connected components → keep the min-id representative per component.
@@ -257,23 +258,64 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
     Scale notes: connected components runs on pair-PARTICIPATING ids
     only (near-dup mass, not corpus size); semantic singletons — the
     overwhelming majority of a crawl corpus — take the identity branch
-    of one left join and never enter the iterative CC.
+    of one left join and never enter the iterative CC. Components use
+    the same dispatch as components.canonical_mapping: below
+    ``driver_threshold`` edges a limit-probe + driver union-find (exact
+    fixpoint, one job); above it STAR CONTRACTION, whose O(log n)
+    rounds converge within the cap regardless of graph diameter — the
+    old label-propagation path silently under-merged any near-dup
+    chain longer than its 25-round cap (review finding, round 3),
+    diverging from the oracle's transitive-closure fixpoint.
     """
-    from .components import connected_components
+    from .components import connected_components_star, driver_union_find
     from .similarity import cosine_pairs
 
     if pairs is None:
         pairs = cosine_pairs(embeddings, id_col=id_col, vec_col=vec_col,
                              threshold=threshold)
     edges = pairs.select("a", "b")
+    ids = embeddings.select(F.col(id_col).alias("id"))
+
+    probe = edges.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        mapping = driver_union_find([(r.a, r.b) for r in probe])
+        if not mapping:
+            return ids.select("id", F.col("id").alias("rep"))
+        spark = embeddings.sparkSession
+        mdf = spark.createDataFrame(
+            list(mapping.items()),
+            ids.select("id", F.col("id").alias("component")).schema)
+        return (ids.join(mdf, "id", "left")
+                .select("id", F.coalesce(F.col("component"), F.col("id"))
+                        .alias("rep")))
+
     linked = (edges.select(F.col("a").alias("id"))
               .union(edges.select(F.col("b")))
               .distinct())
-    comps = connected_components(linked, edges)
-    return (embeddings.select(F.col(id_col).alias("id"))
-            .join(comps, "id", "left")
+    comps = connected_components_star(linked, edges)
+    return (ids.join(comps, "id", "left")
             .select("id", F.coalesce(F.col("component"), F.col("id"))
                     .alias("rep")))
+
+
+def _word_shingles(df: DataFrame, n: int, id_col: str, text_col: str,
+                   distinct: bool = False) -> DataFrame:
+    """(id, g) word ``n``-gram shingles of a text frame — the ONE shared
+    gram builder for ngram_contamination and duplicate_shingle_mass
+    (whose DuckDB oracles share a slice-based twin the same way;
+    previously two divergable copies, review finding round 3).
+    ``distinct=True`` collapses within-doc repeats before the explode."""
+    d = df.withColumn("toks", F.split(F.col(text_col), " "))
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return (d.filter(F.size(toks) >= n)
+            .select(F.col(id_col).alias("id"), F.explode(grams).alias("g")))
 
 
 def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
@@ -292,21 +334,10 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
     through ONE broadcast left join + one map-side-combinable
     aggregation — the corpus never shuffles on the shingle key.
     """
-    def shingles(df: DataFrame) -> DataFrame:
-        d = df.withColumn("toks", F.split(F.col(text_col), " "))
-        toks = F.col("toks")
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]),
-        )
-        return (d.filter(F.size(toks) >= n)
-                .select(F.col(id_col).alias("id"),
-                        F.explode(grams).alias("g")))
-
-    bench = (shingles(benchmark).select("g").distinct()
-             .withColumn("hit", F.lit(1)))
-    flagged = shingles(corpus).join(F.broadcast(bench), "g", "left")
+    bench = (_word_shingles(benchmark, n, id_col, text_col)
+             .select("g").distinct().withColumn("hit", F.lit(1)))
+    flagged = (_word_shingles(corpus, n, id_col, text_col)
+               .join(F.broadcast(bench), "g", "left"))
     return (flagged.groupBy("id").agg(
         F.count("hit").alias("n_hits"),
         F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("g")))
@@ -338,15 +369,7 @@ def duplicate_shingle_mass(docs: DataFrame, n: int = 8,
 
     Returns (id, n_shingles, n_dup_shingles, dup_permille).
     """
-    d = docs.withColumn("toks", F.split(F.col(text_col), " "))
-    toks = F.col("toks")
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]),
-    ))
-    sh = (d.filter(F.size(toks) >= n)
-          .select(F.col(id_col).alias("id"), F.explode(grams).alias("g")))
+    sh = _word_shingles(docs, n, id_col, text_col, distinct=True)
     df_counts = sh.groupBy("g").agg(F.countDistinct("id").alias("df"))
     joined = sh.join(df_counts.filter(F.col("df") >= 2)
                     .withColumn("dup", F.lit(1)).drop("df"),

@@ -80,6 +80,15 @@ def temperature_weights(df: DataFrame, lang_col: str,
     sum of those integer square roots, so low-resource languages are
     up-sampled exactly as the alpha-exponent rule prescribes while
     every emitted number stays a 64-bit integer.
+
+    share_ppm is clamped to ≥1: a language whose token share floors to
+    0 ppm (< total/1e6 tokens) would otherwise get weight 0 AND divide
+    by zero in :func:`temperature_sample_rates`; with the clamp it gets
+    the maximal up-weight instead, which is what temperature sampling
+    means for a vanishing language. The 1e6 * n_tokens product rides
+    DECIMAL(38,0) (mirrored as HUGEINT in the DuckDB oracle) so it
+    cannot overflow int64 — at the 100 TB design point the corpus holds
+    ~2.5e13 tokens and a plain BIGINT product would wrap at ~9.2e12.
     """
     per_lang = (df.groupBy(F.col(lang_col).alias("lang")).agg(
         F.count("*").alias("n_docs"),
@@ -91,8 +100,9 @@ def temperature_weights(df: DataFrame, lang_col: str,
     everything = Window.partitionBy()
     sh = (per_lang
           .withColumn("total_tokens", F.sum("n_tokens").over(everything))
-          .withColumn("share_ppm",
-                      F.expr("1000000 * n_tokens div total_tokens"))
+          .withColumn("share_ppm", F.expr(
+              "GREATEST(CAST(CAST(1000000 AS DECIMAL(38,0)) * n_tokens"
+              " div total_tokens AS LONG), CAST(1 AS LONG))"))
           .withColumn("isqrt_share",
                       F.floor(F.sqrt(F.col("share_ppm").cast("double")))
                       .cast("long")))
@@ -109,13 +119,19 @@ def temperature_sample_rates(weights: DataFrame) -> DataFrame:
     distribution by pure subsampling (no upsampling): rate ∝
     weight/share, normalized so the most up-weighted language keeps
     everything. All-integer: the ratio rides 1e12-scaled fixed point,
-    the max is a window over the ≤#langs-row frame."""
+    the max is a window over the ≤#langs-row frame. share_ppm ≥ 1 by
+    :func:`temperature_weights`' clamp; the two wide products ride
+    DECIMAL(38,0) (a 1-ppm-share language makes ratio_q ≈ 1e18, so the
+    1e6 * ratio_q renorm product would wrap a plain BIGINT)."""
     r = weights.withColumn(
-        "ratio_q", F.expr("1000000000000 * weight_ppm div share_ppm"))
+        "ratio_q", F.expr(
+            "CAST(CAST(1000000000000 AS DECIMAL(38,0)) * weight_ppm"
+            " div share_ppm AS LONG)"))
     return (r.withColumn("ratio_max",
                          F.max("ratio_q").over(Window.partitionBy()))
             .select("lang",
-                    F.expr("1000000 * ratio_q div ratio_max")
+                    F.expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * ratio_q"
+                           " div ratio_max AS LONG)")
                     .alias("rate_ppm")))
 
 

@@ -56,6 +56,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     timestamps within a key would make "the" matched row ambiguous —
     dedup upstream with an explicit rule.
     """
+    if how not in ("inner", "left"):
+        # fail fast: anything else ('outer', a typo, ...) would silently
+        # get left-join semantics below
+        raise ValueError(f"asof_join supports how='inner'|'left', "
+                         f"got {how!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     lcols = left.columns

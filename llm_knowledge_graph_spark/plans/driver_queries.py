@@ -709,8 +709,10 @@ def q_doc_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (round 3): cosine pairs ≥ 0.40 →
     connected components → min-id representative. Output: the non-trivial
     semantic clusters (rep, n_members). Oracle closes the transitive
-    reachability with a recursive CTE; the Spark side iterates min-label
-    propagation — same fixpoint, value-verified."""
+    reachability with a recursive CTE; the Spark side dispatches like
+    canonical_mapping (driver union-find under the probe threshold,
+    star contraction above — both reach the exact fixpoint regardless
+    of chain diameter) — value-verified."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     mapping = dedup.semantic_dedup(e, threshold=0.40)
     return (mapping.groupBy("rep")
@@ -719,25 +721,37 @@ def q_doc_semantic_dedup(spark, sf_dir):
             .orderBy("rep"))
 
 
+def _word_edges(d, src="src", dst="dst", simple=True):
+    """Adjacent-word digraph of a documents frame — the ONE Spark twin
+    of the shared _WORD_EDGES_CTE oracle definition (four consumers:
+    pagerank, triangle census, BFS, RA link prediction — previously four
+    divergable copies, review finding round 3). ``simple=True`` drops
+    self-loops and duplicate pairs here; the census/RA consumers pass
+    ``simple=False`` because their operators canonicalize edges
+    internally (tested: duplicates/self-loops don't change their
+    output)."""
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias(src),
+                           F.element_at(toks, i + 1).alias(dst)),
+    )
+    edges = (d.filter(F.size(toks) >= 2)
+             .select(F.explode(pairs).alias("p"))
+             .select(f"p.{src}", f"p.{dst}"))
+    if simple:
+        edges = (edges.filter(F.col(src) != F.col(dst)).distinct())
+    return edges
+
+
 def q_word_pagerank(spark, sf_dir):
     """Integer-exact PageRank (10 iterations, d=0.85) over the DISTINCT
     adjacent-word co-occurrence digraph of the documents corpus — graph
     analytics on text, value-verified bit-exact against a 10×-unrolled
     SQL oracle thanks to pagerank_exact's all-integer arithmetic."""
     from ..operators.components import pagerank_exact
-    d = _t(spark, sf_dir, "documents")
-    d = d.withColumn("toks", F.split(F.col("text"), " "))
-    toks = F.col("toks")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(F.element_at(toks, i).alias("src"),
-                           F.element_at(toks, i + 1).alias("dst")),
-    )
-    edges = (d.filter(F.size(toks) >= 2)
-             .select(F.explode(pairs).alias("p"))
-             .select("p.src", "p.dst")
-             .filter(F.col("src") != F.col("dst"))
-             .distinct())
+    edges = _word_edges(_t(spark, sf_dir, "documents"))
     return (pagerank_exact(edges, n_iterations=10)
             .orderBy(F.desc("rank_units"), "id")
             .limit(25))
@@ -758,8 +772,9 @@ def q_doc_repetition_stats(spark, sf_dir):
     )
     per_doc = (d.filter(F.size(toks) >= 2)
                .select("doc_id",
-                       F.size(toks).alias("n_words"),
-                       F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+                       F.size(toks).cast("long").alias("n_words"),
+                       F.size(F.array_distinct(toks)).cast("long")
+                        .alias("n_distinct_words"),
                        F.explode(bigrams).alias("bg")))
     bc = (per_doc.groupBy("doc_id", "n_words", "n_distinct_words", "bg")
           .agg(F.count("*").alias("c")))
@@ -809,17 +824,8 @@ def q_word_graph_stats(spark, sf_dir):
     degree-ordered wedge-closure algorithm (components.triangle_count),
     value-verified against a 3-way-self-join SQL oracle."""
     from ..operators.components import triangle_count
-    d = _t(spark, sf_dir, "documents")
-    d = d.withColumn("toks", F.split(F.col("text"), " "))
-    toks = F.col("toks")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(F.element_at(toks, i).alias("a"),
-                           F.element_at(toks, i + 1).alias("b")),
-    )
-    edges = (d.filter(F.size(toks) >= 2)
-             .select(F.explode(pairs).alias("p"))
-             .select("p.a", "p.b"))
+    edges = _word_edges(_t(spark, sf_dir, "documents"),
+                        src="a", dst="b", simple=False)
     return triangle_count(edges)
 
 
@@ -845,19 +851,7 @@ def q_word_bfs_distances(spark, sf_dir):
     (at sf0.01 one word is reachable only at depth 2 — a wrong
     frontier/visited interaction would surface it at depth 1)."""
     from ..operators.components import bfs_distances
-    d = _t(spark, sf_dir, "documents")
-    d = d.withColumn("toks", F.split(F.col("text"), " "))
-    toks = F.col("toks")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(F.element_at(toks, i).alias("src"),
-                           F.element_at(toks, i + 1).alias("dst")),
-    )
-    edges = (d.filter(F.size(toks) >= 2)
-             .select(F.explode(pairs).alias("p"))
-             .select("p.src", "p.dst")
-             .filter(F.col("src") != F.col("dst"))
-             .distinct())
+    edges = _word_edges(_t(spark, sf_dir, "documents"))
     seeds = edges.agg(F.min("src").alias("id"))
     return bfs_distances(edges, seeds, max_depth=3).orderBy("dist", "id")
 
@@ -990,17 +984,8 @@ def q_word_link_prediction(spark, sf_dir):
     wedge self-join on BOTH engines (the power-law last-reducer
     guard — at crawl scale the hubs are stopword-like tokens)."""
     from ..operators.components import link_prediction_ra
-    d = _t(spark, sf_dir, "documents")
-    d = d.withColumn("toks", F.split(F.col("text"), " "))
-    toks = F.col("toks")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(F.element_at(toks, i).alias("a"),
-                           F.element_at(toks, i + 1).alias("b")),
-    )
-    edges = (d.filter(F.size(toks) >= 2)
-             .select(F.explode(pairs).alias("p"))
-             .select("p.a", "p.b"))
+    edges = _word_edges(_t(spark, sf_dir, "documents"),
+                        src="a", dst="b", simple=False)
     return (link_prediction_ra(edges, max_degree=40)
             .orderBy(F.desc("ra_score_units"), "x", "y")
             .limit(25))
@@ -2117,8 +2102,8 @@ ORACLE_SQL["lang_temperature_weights"] = """
             FROM per_lang),
     sh AS (
         SELECT lang, n_docs, n_tokens,
-               CAST(1000000 * n_tokens // total_tokens AS BIGINT)
-                 AS share_ppm
+               GREATEST(CAST(1000000::HUGEINT * n_tokens // total_tokens
+                             AS BIGINT), 1) AS share_ppm
         FROM per_lang CROSS JOIN tot
     ),
     isq AS (
@@ -2200,8 +2185,8 @@ ORACLE_SQL["doc_stratified_sample"] = """
     tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM per_lang),
     sh AS (SELECT lang, n_docs,
-                  CAST(1000000 * n_tokens // total_tokens AS BIGINT)
-                    AS share_ppm
+                  GREATEST(CAST(1000000::HUGEINT * n_tokens // total_tokens
+                                AS BIGINT), 1) AS share_ppm
            FROM per_lang CROSS JOIN tot),
     isq AS (SELECT lang, n_docs, share_ppm,
                    CAST(FLOOR(SQRT(CAST(share_ppm AS DOUBLE))) AS BIGINT)
@@ -2212,12 +2197,13 @@ ORACLE_SQL["doc_stratified_sample"] = """
                  CAST(1000000 * isqrt_share // s AS BIGINT) AS weight_ppm
           FROM isq CROSS JOIN stot),
     rr AS (SELECT lang, n_docs,
-                  CAST(1000000000000 * weight_ppm // share_ppm AS BIGINT)
-                    AS ratio_q
+                  CAST(1000000000000::HUGEINT * weight_ppm // share_ppm
+                       AS BIGINT) AS ratio_q
            FROM w),
     rmax AS (SELECT MAX(ratio_q) AS m FROM rr),
     rates AS (SELECT lang, n_docs,
-                     CAST(1000000 * ratio_q // m AS BIGINT) AS rate_ppm
+                     CAST(1000000::HUGEINT * ratio_q // m AS BIGINT)
+                       AS rate_ppm
               FROM rr CROSS JOIN rmax),
     kept AS (
         SELECT d.lang, COUNT(*) AS n_kept
@@ -2236,6 +2222,28 @@ ORACLE_SQL["doc_stratified_sample"] = """
 SQL_QUERIES["doc_stratified_sample"] = q_doc_stratified_sample
 
 
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _trained_bpe_merges(spark, sf_dir, n_merges=8):
+    """Train (or recall) the BPE merge table for a corpus dir. The
+    trained table is a tiny plain-Python list (one tuple per merge), so
+    it memoizes per (sf_dir, n_merges) — q_bpe_merges and
+    q_bpe_compression share ONE training pass per driver session
+    instead of each paying the ~17-job iterative train (review finding,
+    round 3). Safe across Spark sessions: the cache holds no Spark
+    objects and the corpus dirs are immutable test data."""
+    key = (sf_dir, n_merges)
+    if key not in _BPE_MERGES_CACHE:
+        from ..operators.bpe import bpe_merges, word_frequencies
+        d = _t(spark, sf_dir, "documents")
+        _BPE_MERGES_CACHE[key] = [
+            (r.iter, r.left_sym, r.right_sym, r.pair_count)
+            for r in bpe_merges(spark, word_frequencies(d), n_merges)
+            .orderBy("iter").collect()]
+    return _BPE_MERGES_CACHE[key]
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer vocabulary construction: 8 BPE merge iterations over
     the corpus word-frequency table (operators/bpe.py — pinned merge
@@ -2245,11 +2253,11 @@ def q_bpe_merges(spark, sf_dir):
     1-row driver argmax. Value-verified against an 8x-unrolled SQL twin
     — the second iterative algorithm (after word_pagerank) with a FULL
     value hash."""
-    from ..operators.bpe import bpe_merges, word_frequencies
-    d = _t(spark, sf_dir, "documents")
-    return (bpe_merges(spark, word_frequencies(d), n_merges=8)
-            .withColumn("iter", F.col("iter").cast("long"))
-            .orderBy("iter"))
+    rows = _trained_bpe_merges(spark, sf_dir, n_merges=8)
+    return (spark.createDataFrame(
+        rows, "iter long, left_sym string, right_sym string, "
+              "pair_count long")
+        .orderBy("iter"))
 
 
 def _bpe_oracle_sql(n_merges: int) -> str:
@@ -2300,13 +2308,12 @@ def q_bpe_compression(spark, sf_dir):
     vocabulary (bpe.encode_words — a vocab-sized projection, never
     per-occurrence work) and corpus frequencies weight the result into
     per-lang chars/tokens/compression-permille. The whole encode is
-    driver-parameterized by the 8-row merge table."""
-    from ..operators.bpe import (bpe_merges, encode_words,
-                                 word_frequencies)
+    driver-parameterized by the 8-row merge table (shared with
+    q_bpe_merges via _trained_bpe_merges — trained once per session)."""
+    from ..operators.bpe import encode_words
     d = _t(spark, sf_dir, "documents")
-    merges = [(r.left_sym, r.right_sym) for r in
-              bpe_merges(spark, word_frequencies(d), n_merges=8)
-              .orderBy("iter").collect()]
+    merges = [(l, r) for _, l, r, _ in
+              _trained_bpe_merges(spark, sf_dir, n_merges=8)]
     wl = (d.select("lang", F.explode(F.split(F.col("text"), " "))
                    .alias("word"))
           .filter(F.col("word") != "")

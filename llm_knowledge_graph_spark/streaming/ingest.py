@@ -85,7 +85,7 @@ def _write_merge_delta(pages: DataFrame, batch_id: int, state_dir: str,
     pages = html_text.filter_langs(pages, cfg.supported_langs)
     flat = extract.extract_pages_flat(
         pages, cfg.chunk_size, cfg.chunk_overlap,
-        with_embedding=False).persist()
+        with_embedding=cfg.with_chunk_embeddings).persist()
     try:
         nodes_raw = extract.nodes_from_flat(flat)
         edges_raw = extract.edges_from_flat(flat)
@@ -121,10 +121,25 @@ def run_incremental_merge(spark: SparkSession, pages_path: str,
     the batch build over the union of all batches (N10 MERGE parity —
     the reference gets this from Neo4j's own MERGE on every ingest,
     ref code/pdf_graphrag.py:272-300). Returns the StreamingQuery
-    (availableNow drain; Spark's checkpoint gives exactly-once files)."""
+    (availableNow drain; Spark's checkpoint gives exactly-once files).
+
+    Config envelope: ``with_chunk_embeddings`` and explicit
+    ``allowed_entities``/``allowed_relationships`` are honored per batch
+    (both are row-local, so batch parity holds). ``auto_schema`` is
+    REJECTED: schema detection is a corpus-WIDE pass (build_kg detects
+    over all pages before extracting), so a per-batch detection would
+    enforce a different schema per micro-batch and silently break the
+    batch-parity contract — detect offline and pass the explicit lists
+    instead."""
     if cfg is None:
         from ..config import PipelineConfig
         cfg = PipelineConfig()
+    if cfg.auto_schema and cfg.allowed_entities is None \
+            and cfg.allowed_relationships is None:
+        raise ValueError(
+            "auto_schema is corpus-wide and cannot run per micro-batch; "
+            "run schema_detect over the corpus first and pass "
+            "allowed_entities/allowed_relationships explicitly")
     stream = stream_pages(spark, pages_path, max_files_per_trigger)
     return (stream.writeStream
             .foreachBatch(lambda df, bid:

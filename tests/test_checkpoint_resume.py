@@ -219,3 +219,41 @@ def test_resume_with_changed_params_fails_fast(spark, pages_df, tmp_path):
     out = run_stage_resumable(spark, pages_df, _chunk_stage, base, "runP",
                               "chunk", key_col="url", n_buckets=3)
     assert out.count() == _chunk_stage(pages_df).count()
+
+
+def test_resume_with_changed_stage_schema_fails_fast(spark, pages_df,
+                                                     tmp_path):
+    """Round-3 review finding: the manifest recorded the stage output
+    schema but never validated it on resume — completed buckets written
+    by an older stage_fn (e.g. before the `occ` column landed in the
+    extract flat schema) would silently mix with new-schema buckets,
+    null-filling the new columns on read. Resume with a drifted stage
+    schema must raise before writing anything."""
+    import json
+
+    import pytest as _pytest
+
+    from llm_knowledge_graph_spark.operators.checkpoint import (
+        _manifest_path, run_stage_resumable)
+
+    base = str(tmp_path / "ckpt_schema")
+    run_stage_resumable(spark, pages_df, _chunk_stage, base, "runS",
+                        "chunk", key_col="url", n_buckets=3)
+    # reopen one bucket as pending, as a crash mid-run would leave it
+    mp = _manifest_path(base, "runS", "chunk")
+    with open(mp) as f:
+        manifest = json.load(f)
+    manifest["completed"] = [0, 1]
+    with open(mp, "w") as f:
+        json.dump(manifest, f)
+
+    def drifted_stage(df):
+        return _chunk_stage(df).withColumn("occ2", F.lit(1))
+
+    with _pytest.raises(ValueError, match="schema changed"):
+        run_stage_resumable(spark, pages_df, drifted_stage, base, "runS",
+                            "chunk", key_col="url", n_buckets=3)
+    # the unchanged stage still resumes and completes
+    out = run_stage_resumable(spark, pages_df, _chunk_stage, base, "runS",
+                              "chunk", key_col="url", n_buckets=3)
+    assert out.count() == _chunk_stage(pages_df).count()

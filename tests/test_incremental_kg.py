@@ -57,6 +57,43 @@ def test_incremental_merge_equals_batch_build(spark, tmp_path):
     assert len(batches) >= 3
 
 
+def test_incremental_honors_config_envelope(spark, tmp_path):
+    """Review finding (round 3): _write_merge_delta hardcoded
+    with_embedding=False and silently ignored auto_schema, so non-default
+    configs broke the documented batch-parity contract. Embeddings are
+    now plumbed per batch; auto_schema (a corpus-WIDE pass) fails fast."""
+    import pytest
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+    from llm_knowledge_graph_spark.sources.pages import PAGES_SCHEMA
+    from llm_knowledge_graph_spark.corpus import make_pages
+    from llm_knowledge_graph_spark.streaming.ingest import (
+        _write_merge_delta, finalize_incremental, run_incremental_merge)
+
+    pages = make_pages(24, seed=13)
+    cfg = PipelineConfig(with_chunk_embeddings=True)
+    state = str(tmp_path / "state")
+    for bid, sl in ((0, pages[:12]), (1, pages[12:])):
+        _write_merge_delta(spark.createDataFrame(sl, PAGES_SCHEMA),
+                           bid, state, cfg)
+    nodes, edges, canon_nodes, canon_edges, _ = \
+        finalize_incremental(spark, state, cfg)
+    batch = build_kg(spark, spark.createDataFrame(pages, PAGES_SCHEMA),
+                     cfg)
+    assert _canon_rows(nodes) == _canon_rows(batch.nodes)
+    assert _canon_rows(canon_edges) == _canon_rows(batch.canonical_edges)
+    # the parity above is vacuous unless embeddings actually flowed
+    emb = (nodes.filter(F.col("type") == "Chunk")
+           .filter(F.col("properties").getItem("embedding").isNotNull())
+           .count())
+    assert emb > 0
+
+    with pytest.raises(ValueError, match="auto_schema"):
+        run_incremental_merge(spark, str(tmp_path / "nope"), state,
+                              str(tmp_path / "ckpt2"),
+                              cfg=PipelineConfig(auto_schema=True))
+
+
 def test_incremental_replay_and_compaction_idempotent(spark, tmp_path):
     from llm_knowledge_graph_spark.config import PipelineConfig
     from llm_knowledge_graph_spark.sources.pages import PAGES_SCHEMA

@@ -89,6 +89,29 @@ def test_temperature_resample_invariants(spark):
     assert again == sum(per.values())
 
 
+def test_temperature_zero_share_and_100tb_totals(spark):
+    """Review findings (round 3): a language below total/1e6 tokens used
+    to floor to share_ppm=0 — weight 0 AND a divide-by-zero in
+    temperature_sample_rates under ANSI mode — and the 1e6 * n_tokens
+    product wrapped int64 once the corpus passed ~9.2e12 tokens (below
+    the 100 TB design point). share_ppm now clamps to ≥1 and the wide
+    products ride DECIMAL(38,0)."""
+    from llm_knowledge_graph_spark.operators.packing import (
+        temperature_sample_rates)
+    # 25e12-token dominant language (100 TB scale) + a 3-token one.
+    rows = [("big", 25_000_000_000_000), ("tiny", 3)]
+    df = spark.createDataFrame(rows, "lang string, n long")
+    w = temperature_weights(df, "lang", F.col("n"))
+    got = {r.lang: r for r in w.collect()}
+    assert got["big"].share_ppm == 999_999  # no int64 wrap
+    assert got["tiny"].share_ppm == 1       # clamped, not 0
+    assert got["tiny"].weight_ppm > 0
+    rates = {r.lang: r.rate_ppm
+             for r in temperature_sample_rates(w).collect()}  # no div/0
+    assert rates["tiny"] == 1_000_000  # vanishing language keeps all
+    assert 0 < rates["big"] < rates["tiny"]
+
+
 def test_events_funnel_monotone_and_windowed(spark):
     from llm_knowledge_graph_spark.plans.driver_queries import (
         q_events_funnel)

@@ -82,6 +82,30 @@ def test_semantic_dedup_matches_union_find_on_testdata(spark):
     assert got == expected
 
 
+def test_semantic_dedup_long_chain_beyond_label_prop_cap(spark):
+    """Review finding (round 3): semantic_dedup used label propagation
+    with a 25-round cap, silently under-merging any near-dup chain of
+    diameter > 25 while the DuckDB oracle computes the full transitive
+    closure. Both paths must now reach the fixpoint on a 35-link chain:
+    the driver union-find exactly, and the star-contraction scale path
+    (forced via driver_threshold=0) in O(log n) rounds."""
+    from llm_knowledge_graph_spark.operators.dedup import semantic_dedup
+
+    n = 36
+    emb = spark.createDataFrame([(i, [1.0]) for i in range(n)],
+                                "vec_id int, embedding array<double>")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "a int, b int")
+    expect = {i: 0 for i in range(n)}
+    via_driver = {r.id: r.rep
+                  for r in semantic_dedup(emb, pairs=chain).collect()}
+    assert via_driver == expect
+    via_star = {r.id: r.rep
+                for r in semantic_dedup(emb, pairs=chain,
+                                        driver_threshold=0).collect()}
+    assert via_star == expect
+
+
 def _python_pagerank(edges, n_iterations=10, damping_pct=85, scale=10 ** 12):
     """All-integer PageRank twin of components.pagerank_exact."""
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})

@@ -91,6 +91,24 @@ def main():
             failures.append((name, f"rowcount {len(spark_pdf)} != {len(duck_pdf)}"))
             print(f"[FAIL] {name}: rowcount {len(spark_pdf)} != {len(duck_pdf)}")
             continue
+        # pandas-dtype KIND parity per column: tolist() below erases
+        # numeric dtype (int32/int64 both become Python int, float64
+        # becomes Python float), so an engine int against an oracle
+        # FLOAT — the round-1 HUGEINT→float64 hash-miss root cause —
+        # would slip through the value compare when every value reprs
+        # equal. Driver calibration (round 3): int32-vs-int64 WIDTH is
+        # fine (ship_delay_stats, cosine_topk etc. were driver
+        # hash-green with int32 Spark vs int64 oracle), so only the
+        # dtype KIND ('i' vs 'f' vs object...) is compared.
+        dtype_diffs = [
+            (c, str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+            for c in spark_cols
+            if spark_pdf[c].dtype.kind != duck_pdf[c].dtype.kind
+        ]
+        if dtype_diffs:
+            failures.append((name, f"dtypes differ: {dtype_diffs}"))
+            print(f"[FAIL] {name}: dtypes differ: {dtype_diffs}")
+            continue
         a = normalize(spark_pdf, spark_cols)
         b = normalize(duck_pdf, duck_cols)
         if a != b:
