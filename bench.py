@@ -59,6 +59,10 @@ def main() -> None:
         ts = []
         for _ in range(n_repeats):
             spark.catalog.clearCache()
+            # the BPE merge table memoizes per (sf_dir, n) — a real engine
+            # behavior (one training pass per session), but the bench metric
+            # is the UNCACHED per-query cost, so repeats must retrain
+            DQ._BPE_MERGES_CACHE.clear()
             t0 = time.perf_counter()
             fn()
             ts.append(round(time.perf_counter() - t0, 3))
