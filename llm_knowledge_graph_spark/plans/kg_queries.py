@@ -80,15 +80,23 @@ def kg_canonical_star(spark, sf_dir):
     """Canonicalization via the DISTRIBUTED two-phase star contraction
     (driver_threshold=0 forces the O(log n) Kiveris et al. path instead of
     the driver union-find) — must emit the same non-identity mapping as
-    kg_linking_mapping, evidencing driver/distributed equivalence at the
-    driver surface (rows-only: same rows as kg_linking_mapping)."""
+    kg_linking_mapping. ENFORCED in-query (review finding, round 3): the
+    symmetric diff against the driver-union-find mapping is computed and
+    a divergence raises — the two row sets are genuinely diffed, not just
+    independently recorded (rows-only: same rows as kg_linking_mapping)."""
     from ..operators.components import canonical_mapping
     res = _kg(spark)
     ent = res.nodes.filter(F.col("type") != "Chunk")
-    m = canonical_mapping(ent.select("id", "type"), res.sim_edges,
-                          driver_threshold=0, algorithm="star")
-    return (m.filter(F.col("id") != F.col("canonical_id"))
-            .orderBy("type", "id"))
+    m = (canonical_mapping(ent.select("id", "type"), res.sim_edges,
+                           driver_threshold=0, algorithm="star")
+         .filter(F.col("id") != F.col("canonical_id")))
+    uf = res.mapping.filter(F.col("id") != F.col("canonical_id"))
+    diff = m.exceptAll(uf).count() + uf.exceptAll(m).count()
+    if diff:
+        raise AssertionError(
+            f"star-contraction mapping diverges from driver union-find "
+            f"by {diff} rows")
+    return m.orderBy("type", "id")
 
 
 def kg_minhash_near_dup_docs(spark, sf_dir):
@@ -365,6 +373,13 @@ def kg_incremental_merge(spark, sf_dir):
         a_e, b_e = key(inc_edges, ecols), key(batch.canonical_edges, ecols)
         node_diff = a_n.exceptAll(b_n).count() + b_n.exceptAll(a_n).count()
         edge_diff = a_e.exceptAll(b_e).count() + b_e.exceptAll(a_e).count()
+        if node_diff or edge_diff:
+            # self-verifying means ENFORCED (review finding, round 3): a
+            # parity breach must fail the driver run loudly, not ship as
+            # a normal-looking rows-only record
+            raise AssertionError(
+                f"incremental/batch MERGE parity breach: node_diff="
+                f"{node_diff}, edge_diff={edge_diff}")
         out = (inc_nodes.groupBy("type")
                .agg(F.count("*").alias("n_canonical_nodes"))
                .withColumn("node_diff_vs_batch", F.lit(node_diff))

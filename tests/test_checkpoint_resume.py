@@ -55,13 +55,20 @@ def test_fresh_run_writes_all_buckets(spark, pages_df, tmp_path):
         spark, pages_df, _chunk_stage, base, "runA", "chunk",
         key_col="url", n_buckets=3)
     assert completed_buckets(base, "runA", "chunk") == [0, 1, 2]
-    assert out.count() == _chunk_stage(pages_df).count()
+    # full ROW comparison (review finding, round 3: a count-only check
+    # passes even if the write/read roundtrip corrupts values)
+    want = sorted(map(tuple, _chunk_stage(pages_df)
+                      .select("url", "chunk_id", "text").collect()))
+    got = sorted(map(tuple,
+                     out.select("url", "chunk_id", "text").collect()))
+    assert got == want
 
     # second invocation is a no-op read of the checkpoint (nothing pending)
     again = run_stage_resumable(
         spark, pages_df, _chunk_stage, base, "runA", "chunk",
         key_col="url", n_buckets=3)
-    assert again.count() == out.count()
+    assert sorted(map(tuple, again.select("url", "chunk_id", "text")
+                      .collect())) == want
 
 
 def test_materialize_roundtrip_and_bucket_pruning(spark, kg_result, tmp_path):

@@ -115,4 +115,13 @@ def test_node_and_relationship_embeddings(spark, kg_result):
     n_distinct = (kg_result.canonical_edges.filter("pred != 'HAS'")
                   .select("subj", "pred", "obj").distinct().count())
     assert remb.count() == n_distinct
-    assert len(remb.first()["embedding"]) == 64
+    # VALUE check (review finding, round 3: count + dim alone pass even
+    # if the wrong string is embedded): each vector must equal the
+    # encoder output for the verbalized 'subj pred obj' triple
+    import math
+    for r in remb.orderBy("subj", "pred", "obj").limit(5).collect():
+        want = embed_text(f"{r.subj} {r.pred} {r.obj}")
+        assert len(r.embedding) == 64
+        # float32 storage vs float64 oracle: tolerance covers the cast
+        assert all(math.isclose(a, b, rel_tol=1e-5, abs_tol=1e-6)
+                   for a, b in zip(r.embedding, want)), (r.subj, r.pred)

@@ -79,16 +79,23 @@ def test_chunker_invariants(words, size, overlap):
         return
     # every chunk is a stripped substring within its span and ≤ size chars
     prev_start = -1
+    word_set = set(text.split(" "))
     for cid, ctext, cs, ce in chunks:
         assert 0 <= cs < ce <= len(text)
         assert ctext == text[cs:ce].strip()
         assert len(ctext) <= size
         assert cs > prev_start  # strictly advancing starts
         prev_start = cs
-        # word-boundary guarantee: chunk edges never split a word
-        assert text[cs:ce].strip() != "" or ctext == ""
+        # word-boundary guarantee: chunk edges never split a word, EXCEPT
+        # inside a single word longer than chunk_size (the documented
+        # hard-character-cut fallback for over-length words). Review
+        # finding (round 3): the old form was tautological (`w in text`
+        # is true for any substring); this one fails on a mid-word split
+        # of any normal-length word.
         for w in ctext.split(" "):
-            assert w in text
+            assert (not w or w in word_set
+                    or any(len(orig) > size and w in orig
+                           for orig in word_set)), (w, size)
     # coverage: concatenation of chunk spans touches the whole text
     covered = set()
     for _, _, cs, ce in chunks:

@@ -74,7 +74,9 @@ def test_streaming_incremental_matches_batch(spark, tmp_path):
     write_pages(pages, pages_dir)
 
     q = run_incremental(spark, pages_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):  # stop + raise, not a confusing
+        q.stop()                     # partial-output set-diff failure
+        raise TimeoutError("incremental ingest stream did not drain")
 
     got = spark.read.parquet(f"{out_dir}/edges")
     batch = extract.edges_from(extract.with_graph_docs(
@@ -146,6 +148,22 @@ def test_kg_schema_samples_shape(spark, kg_result, monkeypatch):
     # node rows: (type, id, "") — edge rows: (subj, pred, obj)
     for r in rows:
         assert (r.c == "") == (r.kind == "node")
+    # CONTENT (review finding, round 3: shape+determinism alone let a
+    # column swap or wrong-ordering sample pass): the node sample must be
+    # exactly the orderBy(type, id) head of the canonical nodes, the edge
+    # sample the 5-key-ordered head of the canonical edges
+    want_nodes = [(r.type, r.id) for r in
+                  kg_result.canonical_nodes
+                  .orderBy("type", "id").limit(10).collect()]
+    got_nodes = [(r.a, r.b) for r in rows if r.kind == "node"]
+    assert got_nodes == want_nodes
+    want_edges = sorted(
+        (r.subj, r.pred, r.obj) for r in
+        kg_result.canonical_edges
+        .orderBy("subj", "subj_type", "pred", "obj", "obj_type")
+        .limit(10).collect())
+    got_edges = [(r.a, r.b, r.c) for r in rows if r.kind == "edge"]
+    assert got_edges == want_edges
     # deterministic: two invocations agree exactly
     again = kg_queries.kg_schema_samples(spark, "").collect()
     assert rows == again
