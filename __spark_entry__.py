@@ -84,6 +84,8 @@ _FRONT = [
     "events_funnel", "doc_stratified_sample",        # new in round 3
     "bpe_merges", "bpe_compression",                 # new in round 3
     "label_centroid_norms", "user_sessions",     # changed in round 3
+    # round-3 sketch batch (value-verified probabilistic structures)
+    "lang_distinct_hll", "word_cms_topk", "doc_blocklist_bloom",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

@@ -2367,3 +2367,172 @@ def _bpe_compression_oracle_sql(n_merges: int) -> str:
 
 ORACLE_SQL["bpe_compression"] = _bpe_compression_oracle_sql(8)
 SQL_QUERIES["bpe_compression"] = q_bpe_compression
+
+
+# --- round-3 sketch batch: HyperLogLog, count-min, bloom anti-join ---------
+# (operators/sketches.py — probabilistic structures with PINNED integer
+# md5 contracts, so DuckDB value-hash-verifies the sketches themselves)
+
+def q_lang_distinct_hll(spark, sf_dir):
+    """Per-language distinct-token count, exact AND HyperLogLog-sketched
+    (m=256 registers over md5), plus the integer permille error between
+    them. The sketch computation itself is value-verified: the oracle
+    replays bucket/rho/register/estimator arithmetic bit-for-bit.
+
+    Scale: exact COUNT(DISTINCT) shuffles every distinct token; the HLL
+    register table is ≤256 rows per language regardless of corpus size,
+    map-side combinable, and mergeable across shards/days by MAX — the
+    at-scale replacement this query measures the cost of."""
+    from ..operators.sketches import hll_distinct
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("lang", F.explode(F.split(F.col("text"), " "))
+                     .alias("w"))
+    est = hll_distinct(words, "lang", "w")
+    exact = words.groupBy("lang").agg(
+        F.count_distinct("w").alias("n_exact"))
+    return (exact.join(F.broadcast(est), "lang")
+            .withColumn("err_permille",
+                        F.expr("(1000 * abs(n_hll - n_exact))"
+                               " div n_exact"))
+            .orderBy("lang"))
+
+
+def _hll_words_oracle_sql() -> str:
+    from ..operators.sketches import hll_oracle_sql
+    inner = hll_oracle_sql(
+        "SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents",
+        "lang", "w")
+    return f"""
+    WITH words AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+    exact AS (SELECT lang, COUNT(DISTINCT w) AS n_exact
+              FROM words GROUP BY lang),
+    est AS (SELECT * FROM ({inner}) hll)
+    SELECT exact.lang, n_exact, n_hll,
+           CAST((1000 * abs(n_hll - n_exact)) // n_exact AS BIGINT)
+             AS err_permille
+    FROM exact JOIN est ON exact.lang = est.lang
+    ORDER BY exact.lang
+    """
+
+
+ORACLE_SQL["lang_distinct_hll"] = _hll_words_oracle_sql()
+SQL_QUERIES["lang_distinct_hll"] = q_lang_distinct_hll
+
+
+def q_word_cms_topk(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the corpus's 25 most
+    frequent tokens, next to their true counts and the sketch
+    overcount. The d×w=4×4096 counter grid is a fixed-size map-side-
+    combinable aggregate (16,384 rows at ANY corpus size; grids from
+    disjoint shards merge by +) and broadcasts to the estimate join —
+    the scale path for "how often does this token/n-gram appear in the
+    100 TB corpus" without a full groupBy per probe set."""
+    from ..operators.sketches import cms_counters, cms_estimate
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    counters = cms_counters(counts, "w", "cnt")
+    top = counts.orderBy(F.desc("cnt"), "w").limit(25)
+    est = cms_estimate(top, counters, "w")
+    return (top.join(F.broadcast(est), "w")
+            .select(F.col("w").alias("word"),
+                    F.col("cnt").alias("true_cnt"),
+                    "cms_est",
+                    (F.col("cms_est") - F.col("cnt")).alias("overcount"))
+            .orderBy(F.desc("true_cnt"), "word"))
+
+
+def _cms_oracle_sql() -> str:
+    from ..operators.sketches import cms_bucket_sql
+    bucket = cms_bucket_sql("j", "w")
+    return f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    counts AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    ex AS (SELECT w, cnt, j, {bucket} AS bucket
+           FROM counts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js),
+    counters AS (SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS c
+                 FROM ex GROUP BY j, bucket),
+    top AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 25),
+    est AS (SELECT ex.w AS w, MIN(c) AS cms_est
+            FROM ex JOIN top ON ex.w = top.w
+            JOIN counters ON ex.j = counters.j
+                         AND ex.bucket = counters.bucket
+            GROUP BY ex.w)
+    SELECT top.w AS word, top.cnt AS true_cnt, est.cms_est,
+           est.cms_est - top.cnt AS overcount
+    FROM top JOIN est ON top.w = est.w
+    ORDER BY true_cnt DESC, word
+    """
+
+
+ORACLE_SQL["word_cms_topk"] = _cms_oracle_sql()
+SQL_QUERIES["word_cms_topk"] = q_word_cms_topk
+
+
+def q_doc_blocklist_bloom(spark, sf_dir):
+    """Bloom-filter blocklist filtering, the broadcast-bitmap way: docs
+    whose doc_id % 37 == 0 form a content-digest blocklist; every doc
+    is probed against an 8 KiB bitmap (k=4, m=65536) as a pure JVM
+    bit-test literal — the probe side never shuffles and never joins —
+    then bloom-POSITIVES get the exact broadcast verification join.
+    Reports per-lang probe/bloom/true/false-positive counts; zero false
+    negatives is a bloom-filter invariant the oracle comparison (naive
+    semi-join semantics, no bitmap) re-proves on every run."""
+    from ..operators.sketches import bloom_bitmap, bloom_membership_col
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    digests = d.select("doc_id", "lang",
+                       F.md5(F.col("text").cast("string")).alias("dg"))
+    block = (digests.filter(F.col("doc_id") % 37 == 0)
+             .select("dg").distinct())
+    words = bloom_bitmap(block, "dg")
+    probe = (digests
+             .withColumn("bloom_pos",
+                         bloom_membership_col(F.col("dg"), words))
+             .join(F.broadcast(block.withColumn("blk", F.lit(True))),
+                   "dg", "left")
+             .withColumn("blk", F.coalesce("blk", F.lit(False))))
+    return (probe.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("bloom_pos").cast("long")).alias("n_bloom_pos"),
+        F.sum(F.col("blk").cast("long")).alias("n_true_blocked"),
+        F.sum((F.col("bloom_pos") & ~F.col("blk")).cast("long"))
+         .alias("n_false_pos"))
+        .orderBy("lang"))
+
+
+def _bloom_oracle_sql() -> str:
+    from ..operators.sketches import bloom_bucket_sql
+    bucket = bloom_bucket_sql("i", "dg")
+    return f"""
+    WITH digests AS (SELECT doc_id, lang, md5(text) AS dg
+                     FROM documents WHERE text IS NOT NULL),
+    block AS (SELECT DISTINCT dg FROM digests WHERE doc_id % 37 = 0),
+    bbuckets AS (SELECT DISTINCT {bucket} AS bucket
+                 FROM block CROSS JOIN
+                      (SELECT unnest([0, 1, 2, 3]) AS i) ii),
+    probe AS (SELECT doc_id, {bucket} AS bucket
+              FROM digests CROSS JOIN
+                   (SELECT unnest([0, 1, 2, 3]) AS i) ii),
+    hits AS (SELECT doc_id,
+                    SUM(CASE WHEN bucket IN (SELECT bucket FROM bbuckets)
+                        THEN 1 ELSE 0 END) AS nb
+             FROM probe GROUP BY doc_id),
+    flag AS (SELECT d.lang,
+                    (h.nb = 4) AS bloom_pos,
+                    d.dg IN (SELECT dg FROM block) AS blk
+             FROM digests d JOIN hits h ON d.doc_id = h.doc_id)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pos,
+           CAST(SUM(CASE WHEN blk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_blocked,
+           CAST(SUM(CASE WHEN bloom_pos AND NOT blk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM flag GROUP BY lang ORDER BY lang
+    """
+
+
+ORACLE_SQL["doc_blocklist_bloom"] = _bloom_oracle_sql()
+SQL_QUERIES["doc_blocklist_bloom"] = q_doc_blocklist_bloom

@@ -1,0 +1,158 @@
+"""Sketch operators (operators/sketches.py): HyperLogLog, count-min,
+bloom filter — each checked two ways:
+
+1. **bit-exactness** against a plain-Python twin of the pinned md5
+   contract (the sketch VALUE is the spec, not just its accuracy), and
+2. **the probabilistic guarantee** the sketch exists for (HLL relative
+   error, CMS never-undercounts, bloom zero-false-negatives).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from llm_knowledge_graph_spark.operators.sketches import (
+    BLOOM_K, BLOOM_M, CMS_D, HLL_ALPHA_PPM, bloom_bitmap,
+    bloom_membership_col, cms_counters, cms_estimate, hll_distinct)
+
+_UNIT = 1 << 60
+
+
+# ---------------------------------------------------------------------------
+# plain-Python twins of the pinned contracts
+# ---------------------------------------------------------------------------
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _py_rho(tail: str) -> int:
+    lz = len(tail) - len(tail.lstrip("0"))
+    if lz == len(tail):
+        return 4 * len(tail) + 1
+    extra = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(
+        tail[lz], 0)
+    return lz * 4 + extra + 1
+
+
+def py_hll(items) -> int:
+    regs: dict[int, int] = {}
+    for it in set(items):
+        h = _md5(str(it))
+        bucket = int(h[:2], 16)
+        rho = _py_rho(h[2:17])
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s = sum(0 if r > 60 else (1 << (60 - r)) for r in regs.values())
+    s += (256 - len(regs)) * _UNIT
+    return (HLL_ALPHA_PPM * 256 * 256 * _UNIT) // (s * 1000000)
+
+
+def _cms_bucket(j: int, item: str) -> int:
+    return int(_md5(f"{j}:{item}")[:3], 16)
+
+
+def py_cms_estimates(counts: dict[str, int], probes) -> dict[str, int]:
+    grid: dict[tuple[int, int], int] = {}
+    for w, c in counts.items():
+        for j in range(CMS_D):
+            k = (j, _cms_bucket(j, w))
+            grid[k] = grid.get(k, 0) + c
+    return {w: min(grid[(j, _cms_bucket(j, w))] for j in range(CMS_D))
+            for w in probes}
+
+
+def _bloom_buckets(key: str) -> list[int]:
+    return [int(_md5(f"{i}:{key}")[:4], 16) for i in range(BLOOM_K)]
+
+
+def py_bloom(block_keys, probe_keys) -> dict[str, bool]:
+    bits = set()
+    for k in block_keys:
+        bits.update(_bloom_buckets(k))
+    return {p: all(b in bits for b in _bloom_buckets(p))
+            for p in probe_keys}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_matches_python_twin_and_error_bound(spark):
+    # two keys with very different true cardinalities, including repeats
+    rows = ([("big", f"item-{i % 3000}") for i in range(9000)]
+            + [("small", f"tok-{i}") for i in range(200)])
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {r.k: r.n_hll for r in hll_distinct(df, "k", "v").collect()}
+
+    assert got["big"] == py_hll([f"item-{i % 3000}" for i in range(9000)])
+    assert got["small"] == py_hll([f"tok-{i}" for i in range(200)])
+
+    # raw-HLL accuracy: sigma ~= 1.04/sqrt(256) = 6.5% — allow 3 sigma
+    assert abs(got["big"] - 3000) / 3000 < 0.20
+    # 200 distinct at m=256 is below raw-HLL's sweet spot (linear-counting
+    # territory, deliberately NOT corrected — pinned contract); just
+    # require the right order of magnitude
+    assert 80 <= got["small"] <= 500
+
+
+def test_hll_ignores_duplicates_exactly(spark):
+    # the estimate is a pure function of the DISTINCT set
+    once = spark.createDataFrame(
+        [("k", f"x{i}") for i in range(500)], "k string, v string")
+    thrice = once.union(once).union(once)
+    a = hll_distinct(once, "k", "v").collect()[0].n_hll
+    b = hll_distinct(thrice, "k", "v").collect()[0].n_hll
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts_and_matches_twin(spark):
+    import random
+    rng = random.Random(7)
+    counts = {f"w{i}": rng.randint(1, 400) for i in range(3000)}
+    df = spark.createDataFrame(list(counts.items()), "w string, cnt long")
+    counters = cms_counters(df, "w", "cnt")
+    probes = sorted(counts, key=lambda w: -counts[w])[:50]
+    est = cms_estimate(
+        df.filter(F.col("w").isin(probes)), counters, "w")
+    got = {r.w: r.cms_est for r in est.collect()}
+    twin = py_cms_estimates(counts, probes)
+    for w in probes:
+        assert got[w] == twin[w]
+        assert got[w] >= counts[w]          # CMS upper-bound invariant
+
+
+def test_cms_grid_is_bounded(spark):
+    df = spark.createDataFrame(
+        [(f"t{i}", 1) for i in range(5000)], "w string, cnt long")
+    assert cms_counters(df, "w", "cnt").count() <= CMS_D * 4096
+
+
+# ---------------------------------------------------------------------------
+# bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_matches_twin(spark):
+    block = [f"blocked-{i}" for i in range(300)]
+    clean = [f"clean-{i}" for i in range(2000)]
+    bdf = spark.createDataFrame([(b,) for b in block], "dg string")
+    words = bloom_bitmap(bdf, "dg")
+    assert len(words) == BLOOM_M // 64
+
+    probe = spark.createDataFrame(
+        [(p,) for p in block + clean], "dg string")
+    got = {r.dg: r.pos for r in probe.select(
+        "dg", bloom_membership_col(F.col("dg"), words).alias("pos"))
+        .collect()}
+    twin = py_bloom(block, block + clean)
+    assert got == twin
+    # zero false negatives — every blocked key must test positive
+    assert all(got[b] for b in block)
+    # false-positive rate sanity: k=4, m=65536, n=300 → ~(kn/m)^k ≈ 1e-7;
+    # even x1000 slack means 0 expected over 2000 probes
+    assert sum(got[c] for c in clean) <= 2
