@@ -86,6 +86,8 @@ _FRONT = [
     "label_centroid_norms", "user_sessions",     # changed in round 3
     # round-3 sketch batch (value-verified probabilistic structures)
     "lang_distinct_hll", "word_cms_topk", "doc_blocklist_bloom",
+    # round-3 retrieval batch (integer BM25 + RRF hybrid fusion)
+    "doc_bm25_topk", "doc_hybrid_rrf",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

@@ -2536,3 +2536,102 @@ def _bloom_oracle_sql() -> str:
 
 ORACLE_SQL["doc_blocklist_bloom"] = _bloom_oracle_sql()
 SQL_QUERIES["doc_blocklist_bloom"] = q_doc_blocklist_bloom
+
+
+# --- round-3 retrieval batch: BM25 lexical ranking + RRF hybrid fusion ----
+# (operators/retrieval.py — the keyword half of the reference's hybrid RAG
+# read path, integer-exact so the ranker itself is value-hash-verified)
+
+_BM25_TERMS = ["join", "vector", "stream", "spark"]
+
+
+def q_doc_bm25_topk(spark, sf_dir):
+    """Top-15 documents by exact-integer BM25 for a fixed 4-term query.
+    tf/df/len are map-side-combinable aggs, the df/idf table broadcasts
+    (≤4 rows), corpus totals are ONE 1-row broadcast aggregate, and the
+    top-k is TakeOrderedAndProject — nothing shuffles on more than
+    doc_id. Scores are BIGINT micro-units: bit-identical across engines
+    (see retrieval.bm25_scores for the pinned arithmetic)."""
+    from ..operators.retrieval import bm25_scores
+    d = _t(spark, sf_dir, "documents")
+    top = (bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+           .orderBy(F.desc("bm25_micro"), "doc_id").limit(15))
+    w = Window.orderBy(F.desc("bm25_micro"), "doc_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "bm25_micro"))
+
+
+def _bm25_topk_oracle_sql() -> str:
+    from ..operators.retrieval import bm25_oracle_sql
+    ctes = bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS)
+    return f"""
+    WITH {ctes}
+    SELECT ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank,
+           doc_id, bm25_micro
+    FROM bm25 ORDER BY bm25_micro DESC, doc_id LIMIT 15
+    """
+
+
+ORACLE_SQL["doc_bm25_topk"] = _bm25_topk_oracle_sql()
+SQL_QUERIES["doc_bm25_topk"] = q_doc_bm25_topk
+
+
+def q_doc_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-50 and the cosine vector top-50 (vs the vec_id=0 query vector,
+    the engine's standing query convention) — the production shape of
+    the reference's invoke_question hybrid (graph/vector) read path.
+    rrf_ppm = Σ 1e6 div (60 + rank) is pure integer, so the fused
+    ranking value-hash-verifies; the vector side outputs ranks over
+    4-dp-rounded scores (the cross-engine float stability contract
+    every cosine query in this engine uses)."""
+    from ..operators.retrieval import bm25_scores, rrf_fuse
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+
+    lex = (bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+           .orderBy(F.desc("bm25_micro"), "doc_id").limit(50))
+    wl = Window.orderBy(F.desc("bm25_micro"), "doc_id")
+    lex = lex.withColumn("rank", F.row_number().over(wl))
+
+    qvec = e.filter(F.col("vec_id") == 0).first().embedding
+    vec = similarity.brute_force_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=50)
+    wv = Window.orderBy(F.desc("score"), "vec_id")
+    vec = (vec.withColumn("rank", F.row_number().over(wv))
+           .withColumnRenamed("vec_id", "doc_id"))
+
+    fused = rrf_fuse(lex.select("doc_id", "rank"),
+                     vec.select("doc_id", "rank"), "doc_id")
+    return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(15)
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    from ..operators.retrieval import RRF_K, bm25_oracle_sql
+    ctes = bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS)
+    return f"""
+    WITH {ctes},
+    lex AS (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id)
+                     AS rank
+            FROM bm25 ORDER BY bm25_micro DESC, doc_id LIMIT 50),
+    q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0),
+    vscored AS (SELECT vec_id AS doc_id,
+                       ROUND(list_cosine_similarity(embedding::DOUBLE[],
+                                                    q.v), 4) AS score
+                FROM embeddings, q WHERE vec_id <> 0),
+    vec AS (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM vscored ORDER BY score DESC, doc_id LIMIT 50),
+    fused AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                     CAST(COALESCE(1000000 // ({RRF_K} + lex.rank), 0)
+                          + COALESCE(1000000 // ({RRF_K} + vec.rank), 0)
+                          AS BIGINT) AS rrf_ppm
+              FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id, rrf_ppm FROM fused
+    ORDER BY rrf_ppm DESC, doc_id LIMIT 15
+    """
+
+
+ORACLE_SQL["doc_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
+SQL_QUERIES["doc_hybrid_rrf"] = q_doc_hybrid_rrf
