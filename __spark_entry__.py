@@ -88,6 +88,8 @@ _FRONT = [
     "lang_distinct_hll", "word_cms_topk", "doc_blocklist_bloom",
     # round-3 retrieval batch (integer BM25 + RRF hybrid fusion)
     "doc_bm25_topk", "doc_hybrid_rrf",
+    # round-3 exposure batch: library ops promoted to oracled queries
+    "url_dup_stats", "doc_surprisal_topk", "cosine_topk_sq8",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

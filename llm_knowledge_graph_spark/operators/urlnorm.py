@@ -96,3 +96,63 @@ def url_dup_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
                  F.countDistinct(url_col).cast("long")
                  .alias("n_distinct_spellings"))
             .filter(F.col("n_distinct_spellings") > 1))
+
+
+def canonical_url_sql(urls_cte: str, url_expr: str = "url",
+                      keep_cols: str = "") -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`canonical_url`, step-for-step:
+    given a CTE body ``urls_cte`` yielding ``url_expr`` (plus
+    ``keep_cols``, comma-prefixed), returns a CTE chain whose final
+    relation ``canon`` carries those columns plus ``canonical_url``.
+    Each Spark regexp/array expression maps 1:1 (regexp_extract group
+    semantics, '' on no-match, binary-collation list_sort) so the two
+    engines produce byte-identical canonical forms — value-hash-checked
+    by the url_dup_stats driver query."""
+    return f"""
+    urls AS ({urls_cte}),
+    s1 AS (SELECT {url_expr} AS url{keep_cols},
+                  regexp_replace({url_expr}, '#.*$', '') AS nofrag
+           FROM urls),
+    s2 AS (SELECT *,
+                  lower(regexp_extract(nofrag,
+                        '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+                  regexp_replace(nofrag,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM s1),
+    s3 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS authority
+           FROM s2),
+    s4 AS (SELECT *,
+                  substr(rest, length(authority) + 1) AS path_q,
+                  regexp_replace(authority, '^[^@]*@', '') AS host_port
+           FROM s3),
+    s5 AS (SELECT *,
+                  lower(regexp_extract(host_port, '^([^:]*)', 1)) AS host,
+                  regexp_extract(host_port, ':([0-9]+)$', 1) AS port
+           FROM s4),
+    s6 AS (SELECT *,
+                  CASE WHEN port <> ''
+                        AND NOT (scheme = 'http' AND port = '80')
+                        AND NOT (scheme = 'https' AND port = '443')
+                       THEN host || ':' || port ELSE host END AS auth_c,
+                  regexp_extract(path_q, '^([^?]*)', 1) AS path,
+                  CASE WHEN strpos(path_q, '?') > 0
+                       THEN regexp_replace(path_q, '^[^?]*\\?', '')
+                       ELSE '' END AS query
+           FROM s5),
+    s7 AS (SELECT *,
+                  array_to_string(list_sort(list_filter(
+                      string_split(query, '&'),
+                      p -> p <> '' AND NOT regexp_matches(lower(p),
+                          '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)='))),
+                      '&') AS query_c,
+                  CASE WHEN path = '' THEN '/'
+                       WHEN length(path) > 1 AND path LIKE '%/'
+                       THEN substr(path, 1, length(path) - 1)
+                       ELSE path END AS path_c
+           FROM s6),
+    canon AS (SELECT url{keep_cols},
+                     scheme || '://' || auth_c || path_c
+                     || CASE WHEN query_c <> '' THEN '?' || query_c
+                             ELSE '' END AS canonical_url
+              FROM s7)
+    """

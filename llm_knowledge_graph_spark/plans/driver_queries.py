@@ -2635,3 +2635,161 @@ def _hybrid_rrf_oracle_sql() -> str:
 
 ORACLE_SQL["doc_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
 SQL_QUERIES["doc_hybrid_rrf"] = q_doc_hybrid_rrf
+
+
+# --- round-3 exposure batch: library ops promoted to oracled queries -------
+# (urlnorm / surprisal / quantize — previously pytest-only; EXPLAIN.md
+# flagged them for driver exposure as budget freed up)
+
+def _fabricated_urls(d):
+    """Deterministic crawl-alias URL per doc_id, exercising every
+    canonicalization feature: scheme case/default-port interplay, host
+    casing, userinfo, trailing slash, tracker params, unsorted query
+    keys, fragments. The SQL twin builds the identical strings."""
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, "https").otherwise("http")
+    host = (F.when(did % 3 == 0, "Example.COM")
+            .when(did % 3 == 1, "example.com")
+            .otherwise("user:pw@EXAMPLE.com"))
+    port = (F.when(did % 4 == 0, ":80")
+            .when(did % 4 == 1, ":443").otherwise(""))
+    path = F.concat(F.lit("/a/"), (did % 7).cast("string"),
+                    F.when(did % 5 == 0, "/").otherwise(""))
+    query = F.when(did % 2 == 0, "?b=2&utm_source=x&a=1") \
+             .otherwise("?b=2&a=1")
+    frag = F.when(did % 3 == 0, "#frag").otherwise("")
+    return d.select(F.concat(scheme, F.lit("://"), host, port, path,
+                             query, frag).alias("url"))
+
+
+_FABRICATED_URLS_CTE = """
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+           || '://'
+           || CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
+                   WHEN doc_id % 3 = 1 THEN 'example.com'
+                   ELSE 'user:pw@EXAMPLE.com' END
+           || CASE WHEN doc_id % 4 = 0 THEN ':80'
+                   WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END
+           || '/a/' || CAST(doc_id % 7 AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+           || CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=x&a=1'
+                   ELSE '?b=2&a=1' END
+           || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+    FROM documents
+"""
+
+
+def q_url_dup_stats(spark, sf_dir):
+    """Crawl-frontier alias mass: canonicalize one deterministic alias
+    URL per document (RFC 3986 §6 normalization + tracker strip + query
+    sort, ONE pure regexp/array projection — operators/urlnorm.py) and
+    report every canonical target fetched under >1 raw spelling. The
+    canonicalizer itself is what's value-verified: the oracle replays
+    each normalization step in SQL and the hashes must agree on every
+    byte of every canonical URL."""
+    from ..operators.urlnorm import url_dup_stats
+    urls = _fabricated_urls(_t(spark, sf_dir, "documents"))
+    return url_dup_stats(urls, "url").orderBy("canonical_url")
+
+
+def _url_dup_stats_oracle_sql() -> str:
+    from ..operators.urlnorm import canonical_url_sql
+    ctes = canonical_url_sql(_FABRICATED_URLS_CTE)
+    return f"""
+    WITH {ctes}
+    SELECT canonical_url,
+           COUNT(*) AS n_fetches,
+           COUNT(DISTINCT url) AS n_distinct_spellings
+    FROM canon GROUP BY canonical_url
+    HAVING COUNT(DISTINCT url) > 1
+    ORDER BY canonical_url
+    """
+
+
+ORACLE_SQL["url_dup_stats"] = _url_dup_stats_oracle_sql()
+SQL_QUERIES["url_dup_stats"] = q_url_dup_stats
+
+
+def q_doc_surprisal_topk(spark, sf_dir):
+    """CCNet-style unigram-surprisal quality score (integer-exact bits
+    via the portable floor-log2), top-25 most surprising docs — the
+    candidates a perplexity filter would flag. All-BIGINT output."""
+    from ..operators.surprisal import doc_surprisal
+    d = _t(spark, sf_dir, "documents")
+    return (doc_surprisal(d, "doc_id", "text")
+            .orderBy(F.desc("mean_millibits"), "id").limit(25))
+
+
+ORACLE_SQL["doc_surprisal_topk"] = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+    toks_nz AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+    vocab AS (SELECT word, COUNT(*) AS c FROM toks_nz GROUP BY word),
+    vocab_t AS (SELECT word, c,
+                       CAST(SUM(c) OVER () AS BIGINT) AS total_tokens
+                FROM vocab),
+    surp AS (SELECT word,
+                    (length(bin(total_tokens)) - 1) - (length(bin(c)) - 1)
+                      AS surprisal_bits
+             FROM vocab_t)
+    SELECT doc_id AS id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(surprisal_bits) AS BIGINT) AS surprisal_units,
+           CAST((1000 * SUM(surprisal_bits)) // COUNT(*) AS BIGINT)
+             AS mean_millibits
+    FROM toks_nz JOIN surp USING (word)
+    GROUP BY doc_id
+    ORDER BY mean_millibits DESC, id LIMIT 25
+"""
+SQL_QUERIES["doc_surprisal_topk"] = q_doc_surprisal_topk
+
+
+def q_cosine_topk_sq8(spark, sf_dir):
+    """SQ8-quantized cosine top-10 vs the vec_id=0 query vector: the
+    int8 table is 4x smaller to scan and the dot products run in exact
+    integer arithmetic (only the final normalization touches floats,
+    4-dp rounded). The full quantize→integer-dot→rank path is what the
+    oracle replays — a value-hash check on the quantization contract
+    itself."""
+    from ..operators.quantize import quantize_embeddings, \
+        quantized_cosine_topk
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).first().embedding
+    qz = quantize_embeddings(e.filter(F.col("vec_id") != 0))
+    return quantized_cosine_topk(qz, qvec, k=10)
+
+
+ORACLE_SQL["cosine_topk_sq8"] = """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+    qsrc AS (SELECT v,
+                    COALESCE(NULLIF(list_max(list_transform(v,
+                        x -> abs(x))), 0), 1.0) AS mx
+             FROM base WHERE vec_id = 0),
+    qvec AS (SELECT list_transform(v, x -> CAST(round(x * 127.0 / mx)
+                                               AS INTEGER)) AS qq
+             FROM qsrc),
+    rows_q AS (SELECT vec_id,
+                      list_max(list_transform(v, x -> abs(x))) AS scale,
+                      v
+               FROM base WHERE vec_id <> 0),
+    quant AS (SELECT vec_id,
+                     CASE WHEN scale = 0
+                          THEN list_transform(v, x -> CAST(0 AS INTEGER))
+                          ELSE list_transform(v, x -> CAST(round(
+                               x * 127.0 / scale) AS INTEGER)) END AS q
+              FROM rows_q),
+    scored AS (SELECT vec_id,
+                      list_dot_product(q, qq) AS dot,
+                      sqrt(list_dot_product(q, q)) AS rnorm,
+                      sqrt(list_dot_product(qq, qq)) AS qnorm
+               FROM quant CROSS JOIN qvec),
+    ranked AS (SELECT vec_id,
+                      ROUND(dot / (rnorm * CASE WHEN qnorm = 0 THEN 1.0
+                                                ELSE qnorm END), 4)
+                        AS score
+               FROM scored WHERE rnorm > 0)
+    SELECT vec_id, score FROM ranked
+    ORDER BY score DESC, vec_id LIMIT 10
+"""
+SQL_QUERIES["cosine_topk_sq8"] = q_cosine_topk_sq8
