@@ -7,10 +7,11 @@ timed end-to-end as kg_build) + representative operators from each family
 (scan+agg, star join, window dedup, text analysis, near-dup, similarity).
 
 Cross-round accounting: round 2 added legal_citations +
-doc_classification to the round-1 set; round 3 added doc_filter_funnel +
-bpe_merges (~2-4s combined) — compare totals across rounds net of the
-additions, and per-query mins (not totals) for drift. Numbers are
-min-of-N in-process repeats; the host itself drifts 25-40%.
+doc_classification to the round-1 set; round 3 added doc_filter_funnel,
+bpe_merges, lang_distinct_hll, and doc_bm25_topk (~3-6s combined) —
+compare totals across rounds net of the additions, and per-query mins
+(not totals) for drift. Numbers are min-of-N in-process repeats; the
+host itself drifts 25-40%.
 """
 
 from __future__ import annotations
@@ -97,6 +98,8 @@ def main() -> None:
         "legal_citations", "doc_classification",
         # round-3 families: composed filter funnel + iterative BPE train
         "doc_filter_funnel", "bpe_merges",
+        # round-3 additions: sketches (HLL) + lexical retrieval (BM25)
+        "lang_distinct_hll", "doc_bm25_topk",
     ]
     for name in bench_sql:
         fn = DQ.SQL_QUERIES[name]

@@ -108,29 +108,30 @@ def _hll_rho_sql(tail: str, tail_hex_len: int) -> str:
             f"ELSE {lz} * 4 + {extra} + 1 END")
 
 
-def hll_distinct(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
-    """Per-``key_col`` HyperLogLog distinct-count estimate of ``item_col``
+def hll_registers(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
+    """Per-``key_col`` HyperLogLog register table ``(key, bucket, r)``
     with m=256 registers (hash = md5; bucket = first 2 hex chars; rho =
-    first 1-bit of the next 60 bits). Returns ``(key_col, n_hll:bigint)``.
-
-    The raw-HLL estimator (alpha·m²/Σ2^(-rho_j), no small/large-range
-    correction) is the PINNED engine contract — the oracle replays it
-    bit-for-bit, and the accuracy bound (σ ≈ 1.04/√m ≈ 6.5 %) is
-    asserted separately in tests. Empty registers contribute 2^0 = 1 in
-    2^-rho units, i.e. 2^60 in our fixed-point units.
-
-    Scale shape: ``groupBy(key, bucket).max`` then ``groupBy(key)`` —
-    both map-side combinable; state is ≤ m rows per key. Registers from
-    disjoint corpus shards merge by MAX, so the sketch is also the
-    incremental/streaming accumulator shape.
-    """
+    first 1-bit of the next 60 bits). ≤ m rows per key at ANY input
+    size; registers from disjoint shards / micro-batches merge by
+    ``groupBy(key, bucket).max(r)`` — the accumulator shape for
+    incremental and streaming distinct counting (mergeability is
+    test-asserted in tests/test_sketches.py)."""
     h = F.md5(F.col(item_col).cast("string"))
-    pairs = (df.filter(F.col(item_col).isNotNull())
-               .select(key_col,
-                       hex_int_col(h, 1, 2).alias("bucket"),
-                       _hll_rho_col(F.substring(h, 3, 15), 15).alias("rho"))
-               .groupBy(key_col, "bucket")
-               .agg(F.max("rho").alias("r")))
+    return (df.filter(F.col(item_col).isNotNull())
+              .select(key_col,
+                      hex_int_col(h, 1, 2).alias("bucket"),
+                      _hll_rho_col(F.substring(h, 3, 15), 15).alias("rho"))
+              .groupBy(key_col, "bucket")
+              .agg(F.max("rho").alias("r")))
+
+
+def hll_estimate(registers: DataFrame, key_col: str) -> DataFrame:
+    """Finish a register table into ``(key_col, n_hll:bigint)`` with the
+    raw-HLL estimator alpha·m²/Σ2^(-rho_j) (no small/large-range
+    correction — the PINNED engine contract the oracle replays
+    bit-for-bit; accuracy σ ≈ 1.04/√m ≈ 6.5 % is asserted in tests).
+    Empty registers contribute 2^0 = 1 in 2^-rho units (2^60 in the
+    fixed-point units)."""
     # SQL shiftleft accepts a column shift amount (the pyspark wrapper
     # F.shiftleft does not) — call_function routes to the SQL builtin
     term = (F.when(F.col("r") > 60, F.lit(0))
@@ -140,7 +141,7 @@ def hll_distinct(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
     num = HLL_ALPHA_PPM * 256 * 256 * _UNIT  # exact Python int constant
     # cast each term to decimal BEFORE summing: 256 registers × 2^59 max
     # term exceeds int64 (ANSI mode would overflow mid-aggregate)
-    agg = (pairs.groupBy(key_col)
+    agg = (registers.groupBy(key_col)
            .agg(F.sum(term.cast("decimal(38,0)")).alias("s_hit"),
                 F.count("*").alias("n_hit")))
     s_total = (F.col("s_hit")
@@ -152,6 +153,12 @@ def hll_distinct(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
     return agg.selectExpr(
         key_col,
         f"CAST(CAST({num} AS DECIMAL(38,0)) div s6 AS BIGINT) AS n_hll")
+
+
+def hll_distinct(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
+    """One-shot per-key HLL distinct estimate:
+    ``hll_estimate(hll_registers(df))``. Returns (key_col, n_hll)."""
+    return hll_estimate(hll_registers(df, key_col, item_col), key_col)
 
 
 def hll_oracle_sql(items_cte: str, key: str, item: str) -> str:

@@ -156,3 +156,59 @@ def test_bloom_no_false_negatives_and_matches_twin(spark):
     # false-positive rate sanity: k=4, m=65536, n=300 → ~(kn/m)^k ≈ 1e-7;
     # even x1000 slack means 0 expected over 2000 probes
     assert sum(got[c] for c in clean) <= 2
+
+
+# ---------------------------------------------------------------------------
+# mergeability — the property that makes sketches work across shards
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_merge_by_max(spark):
+    from llm_knowledge_graph_spark.operators.sketches import (
+        hll_estimate, hll_registers)
+    rows = [("k", f"v{i}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    # disjoint-with-overlap shards (overlap must NOT double-count)
+    a = df.filter(F.crc32(F.col("v")) % 3 != 0)
+    b = df.filter(F.crc32(F.col("v")) % 3 != 1)
+    merged = (hll_registers(a, "k", "v")
+              .union(hll_registers(b, "k", "v"))
+              .groupBy("k", "bucket").agg(F.max("r").alias("r")))
+    whole = hll_distinct(df, "k", "v").collect()[0].n_hll
+    via_merge = hll_estimate(merged, "k").collect()[0].n_hll
+    assert via_merge == whole
+
+
+def test_cms_grids_merge_by_sum(spark):
+    counts = {f"w{i}": (i % 17) + 1 for i in range(2000)}
+    df = spark.createDataFrame(list(counts.items()), "w string, cnt long")
+    a = df.filter(F.crc32(F.col("w")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("w")) % 2 == 1)
+    merged = (cms_counters(a, "w", "cnt")
+              .union(cms_counters(b, "w", "cnt"))
+              .groupBy("j", "bucket").agg(F.sum("c").alias("c")))
+    probes = [f"w{i}" for i in range(0, 2000, 97)]
+    pdf = df.filter(F.col("w").isin(probes))
+    whole = {r.w: r.cms_est for r in
+             cms_estimate(pdf, cms_counters(df, "w", "cnt"), "w").collect()}
+    via_merge = {r.w: r.cms_est for r in
+                 cms_estimate(pdf, merged, "w").collect()}
+    assert via_merge == whole
+
+
+def test_bloom_bitmaps_merge_by_or(spark):
+    a_keys = [f"a{i}" for i in range(100)]
+    b_keys = [f"b{i}" for i in range(100)]
+    adf = spark.createDataFrame([(k,) for k in a_keys], "dg string")
+    bdf = spark.createDataFrame([(k,) for k in b_keys], "dg string")
+    both = spark.createDataFrame([(k,) for k in a_keys + b_keys],
+                                 "dg string")
+    wa, wb = bloom_bitmap(adf, "dg"), bloom_bitmap(bdf, "dg")
+
+    def _u64(x):
+        return x + (1 << 64) if x < 0 else x
+
+    def _i64(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    merged = [_i64(_u64(x) | _u64(y)) for x, y in zip(wa, wb)]
+    assert merged == bloom_bitmap(both, "dg")
