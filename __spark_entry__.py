@@ -90,6 +90,8 @@ _FRONT = [
     "doc_bm25_topk", "doc_hybrid_rrf",
     # round-3 exposure batch: library ops promoted to oracled queries
     "url_dup_stats", "doc_surprisal_topk", "cosine_topk_sq8",
+    # round-3 governance batch: per-host quotas + quality-floor verdicts
+    "domain_cap_rollup",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

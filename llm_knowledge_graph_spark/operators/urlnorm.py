@@ -156,3 +156,20 @@ def canonical_url_sql(urls_cte: str, url_expr: str = "url",
                              ELSE '' END AS canonical_url
               FROM s7)
     """
+
+
+def domain_cap_sample(df: DataFrame, domain_col: str, k: int,
+                      order_col: str) -> DataFrame:
+    """Per-domain quota (C4/RefinedWeb-style host caps): keep at most
+    ``k`` rows per domain, selected by md5-hex rank of ``order_col``
+    (a deterministic crawl-order-agnostic sample — a doc's fate depends
+    only on its own id and its rank among siblings, not on partition
+    layout). One window per domain partition; domains are the natural
+    shuffle key and the md5 rank de-correlates the kept set from
+    crawl/id order, so hot hosts cost one skewed partition at worst —
+    the same salting escape hatch as any hot-key groupBy applies."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(domain_col)
+         .orderBy(F.md5(F.col(order_col).cast("string")), order_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))

@@ -2793,3 +2793,53 @@ ORACLE_SQL["cosine_topk_sq8"] = """
     ORDER BY score DESC, vec_id LIMIT 10
 """
 SQL_QUERIES["cosine_topk_sq8"] = q_cosine_topk_sq8
+
+
+def q_domain_cap_rollup(spark, sf_dir):
+    """Per-domain corpus governance in one report: doc counts, the
+    md5-ranked quota sample (≤15 docs/domain — urlnorm.domain_cap_sample,
+    the C4/RefinedWeb per-host cap), integer mean doc length, and the
+    domain keep/drop verdict a quality-floor policy would emit. Two
+    map-side-combinable aggs + one ≤#domains broadcast join; the only
+    corpus-shaped shuffle is the per-domain window."""
+    from ..operators.urlnorm import domain_cap_sample
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "n_chars",
+        F.concat(F.lit("site"), (F.col("doc_id") % 23).cast("string"),
+                 F.lit(".example")).alias("domain"))
+    kept = (domain_cap_sample(docs, "domain", 15, "doc_id")
+            .groupBy("domain").agg(F.count("*").alias("n_kept")))
+    stats = (docs.groupBy("domain")
+             .agg(F.count("*").alias("n_docs"),
+                  F.expr("sum(n_chars) div count(*)").alias("mean_chars")))
+    return (stats.join(F.broadcast(kept), "domain")
+            .withColumn("verdict",
+                        F.when(F.col("mean_chars") < 290, "drop")
+                         .otherwise("keep"))
+            .orderBy("domain"))
+
+
+ORACLE_SQL["domain_cap_rollup"] = """
+    WITH docs AS (SELECT doc_id, n_chars,
+                         'site' || CAST(doc_id % 23 AS VARCHAR)
+                         || '.example' AS domain
+                  FROM documents),
+    ranked AS (SELECT domain,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY domain
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS rn
+               FROM docs),
+    kept AS (SELECT domain, COUNT(*) AS n_kept FROM ranked
+             WHERE rn <= 15 GROUP BY domain),
+    stats AS (SELECT domain, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
+              FROM docs GROUP BY domain)
+    SELECT stats.domain, n_docs, mean_chars, n_kept,
+           CASE WHEN mean_chars < 290 THEN 'drop' ELSE 'keep' END
+             AS verdict
+    FROM stats JOIN kept ON stats.domain = kept.domain
+    ORDER BY stats.domain
+"""
+SQL_QUERIES["domain_cap_rollup"] = q_domain_cap_rollup

@@ -184,3 +184,22 @@ def streaming_first_seen(docs_stream: DataFrame,
             .applyInPandasWithState(
                 _first_seen_fn, _FIRST_SEEN_OUT, _FIRST_SEEN_STATE,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_hll_registers(stream_df: DataFrame, key_col: str,
+                            item_col: str) -> DataFrame:
+    """Streaming distinct-count sketch: the HyperLogLog register build
+    (operators/sketches.hll_registers) run AS the streaming aggregation.
+    State is exactly the register table — ≤256 rows per key FOREVER,
+    whatever the stream has seen — because max(rho) is the mergeable
+    accumulator; micro-batches fold in by the same MAX the shard-merge
+    law uses (tests/test_sketches.py::test_hll_registers_merge_by_max).
+    Contrast with streaming_first_seen, whose exact-dedup state is
+    necessarily corpus-sized: the sketch answers "how many distinct"
+    with O(m) state instead.
+
+    Drain with complete output + availableNow, then finish the drained
+    registers with sketches.hll_estimate — equality with the batch
+    hll_distinct is asserted in tests/test_streaming_windowed.py."""
+    from ..operators.sketches import hll_registers
+    return hll_registers(stream_df, key_col, item_col)

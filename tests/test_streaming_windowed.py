@@ -130,3 +130,34 @@ def test_streaming_first_seen_wider_prefix(spark, tmp_path):
     rows = spark.table("first_seen3").collect()
     assert sorted(r["doc_id"] for r in rows) == [0, 1, 3]
     assert all(len(r["key"]) == 3 for r in rows)
+
+
+def test_streaming_hll_equals_batch(spark):
+    """Distinct-token sketch over a stream: the drained register state
+    finishes to the IDENTICAL estimate as the one-shot batch sketch
+    (register max-merge across micro-batches is lossless)."""
+    from llm_knowledge_graph_spark.operators.sketches import (
+        hll_distinct, hll_estimate)
+    from llm_knowledge_graph_spark.streaming.windowed import \
+        streaming_hll_registers
+    src_dir = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{src_dir}/documents.parquet")
+    schema = batch.schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src_dir))
+
+    def words(df):
+        return df.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+
+    regs = streaming_hll_registers(words(stream), "lang", "w")
+    q = (regs.writeStream.format("memory").queryName("hll_regs")
+         .outputMode("complete").trigger(availableNow=True).start())
+    _drain(q)
+    got = {r.lang: r.n_hll for r in
+           hll_estimate(spark.table("hll_regs"), "lang").collect()}
+    want = {r.lang: r.n_hll for r in
+            hll_distinct(words(batch), "lang", "w").collect()}
+    assert got == want and len(want) >= 2

@@ -130,3 +130,22 @@ def test_url_dup_stats(spark):
            for r in url_dup_stats(df).collect()}
     # only the multi-spelling family is reported
     assert out == {"http://a.com/p?x=1": (4, 3)}
+
+
+def test_domain_cap_sample_is_layout_invariant(spark):
+    """The kept set is a pure function of (domain, id) — repartitioning
+    the input must not change which docs survive the quota."""
+    from llm_knowledge_graph_spark.operators.urlnorm import \
+        domain_cap_sample
+    from pyspark.sql import functions as F
+    rows = [(i, f"d{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    a = {r.doc_id for r in
+         domain_cap_sample(df, "domain", 7, "doc_id").collect()}
+    b = {r.doc_id for r in
+         domain_cap_sample(df.repartition(13), "domain", 7, "doc_id")
+         .collect()}
+    assert a == b
+    counts = (domain_cap_sample(df, "domain", 7, "doc_id")
+              .groupBy("domain").count().collect())
+    assert all(r["count"] <= 7 for r in counts) and len(counts) == 5
