@@ -90,8 +90,9 @@ _FRONT = [
     "doc_bm25_topk", "doc_hybrid_rrf",
     # round-3 exposure batch: library ops promoted to oracled queries
     "url_dup_stats", "doc_surprisal_topk", "cosine_topk_sq8",
-    # round-3 governance batch: per-host quotas + quality-floor verdicts
-    "domain_cap_rollup",
+    # round-3 governance batch: per-host quotas + quality-floor verdicts,
+    # filter-threshold calibration, duplicate-mass histogram
+    "domain_cap_rollup", "quality_threshold_sweep", "dup_cluster_histogram",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

@@ -2843,3 +2843,83 @@ ORACLE_SQL["domain_cap_rollup"] = """
     ORDER BY stats.domain
 """
 SQL_QUERIES["domain_cap_rollup"] = q_domain_cap_rollup
+
+
+def q_quality_threshold_sweep(spark, sf_dir):
+    """Threshold calibration for a length-floor quality filter: keep
+    rates per (threshold, lang) for four candidate floors in ONE corpus
+    scan — explode the 4-element threshold array (a 4x fan-out of a
+    2-column projection, not of the corpus text) and aggregate. The
+    report a pipeline operator reads before pinning a filter constant."""
+    d = _t(spark, sf_dir, "documents")
+    th = F.explode(F.array(*[F.lit(t) for t in (200, 290, 350, 420)]))
+    return (d.select("lang", "n_chars", th.alias("threshold"))
+            .groupBy("threshold", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("n_chars") >= F.col("threshold"))
+                       .cast("long")).alias("n_keep"))
+            .withColumn("keep_permille",
+                        F.expr("(1000 * n_keep) div n_docs"))
+            .orderBy("threshold", "lang"))
+
+
+ORACLE_SQL["quality_threshold_sweep"] = """
+    SELECT threshold, lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars >= threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           CAST((1000 * SUM(CASE WHEN n_chars >= threshold
+                            THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+             AS keep_permille
+    FROM documents
+    CROSS JOIN (SELECT unnest([200, 290, 350, 420]) AS threshold) t
+    GROUP BY threshold, lang ORDER BY threshold, lang
+"""
+SQL_QUERIES["quality_threshold_sweep"] = q_quality_threshold_sweep
+
+
+def q_dup_cluster_histogram(spark, sf_dir):
+    """Exact-duplicate cluster-size histogram: how duplicate mass is
+    distributed (cluster_size → #clusters, #docs, permille of corpus) —
+    the report that decides whether dedup is worth a pass and which
+    collapse strategy to use. Two pipelined map-side-combinable aggs
+    (digest → size, size → histogram) + corpus total via one 1-row
+    broadcast aggregate; the corpus shuffles once, on the digest.
+    The sf corpus is dup-free, so deterministic duplicate mass is
+    injected (2nd copies of doc_id%7==0, 3rd copies of %49==0) to make
+    the histogram non-trivial — sizes 1/2/3 all present at sf0.01."""
+    base = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    d = (base.select("text")
+         .unionAll(base.filter(F.col("doc_id") % 7 == 0).select("text"))
+         .unionAll(base.filter(F.col("doc_id") % 49 == 0).select("text")))
+    sizes = (d.select(F.md5(F.col("text").cast("string")).alias("dg"))
+             .groupBy("dg").agg(F.count("*").alias("cluster_size")))
+    total = d.select(F.count("*").alias("n_total"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("cluster_size").alias("n_docs"))
+            .crossJoin(F.broadcast(total))
+            .withColumn("mass_permille",
+                        F.expr("(1000 * n_docs) div n_total"))
+            .drop("n_total")
+            .orderBy("cluster_size"))
+
+
+ORACLE_SQL["dup_cluster_histogram"] = """
+    WITH corpus AS (
+        SELECT text FROM documents WHERE text IS NOT NULL
+        UNION ALL SELECT text FROM documents
+                  WHERE text IS NOT NULL AND doc_id % 7 = 0
+        UNION ALL SELECT text FROM documents
+                  WHERE text IS NOT NULL AND doc_id % 49 = 0),
+    sizes AS (SELECT md5(text) AS dg, COUNT(*) AS cluster_size
+              FROM corpus GROUP BY dg),
+    total AS (SELECT COUNT(*) AS n_total FROM corpus)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST((1000 * SUM(cluster_size)) // n_total AS BIGINT)
+             AS mass_permille
+    FROM sizes CROSS JOIN total
+    GROUP BY cluster_size, n_total ORDER BY cluster_size
+"""
+SQL_QUERIES["dup_cluster_histogram"] = q_dup_cluster_histogram
