@@ -379,3 +379,57 @@ def duplicate_shingle_mass(docs: DataFrame, n: int = 8,
         F.count("dup").alias("n_dup_shingles"))
         .withColumn("dup_permille",
                     F.expr("(1000 * n_dup_shingles) div n_shingles")))
+
+
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sep: str = ". ") -> DataFrame:
+    """CCNet-style paragraph-level exact dedup with first-witness keeps:
+    split each document into paragraphs, keep a paragraph only at its
+    FIRST occurrence corpus-wide (min (doc_id, position)), and
+    reconstruct each document from its kept paragraphs in original
+    order. Returns ``(id, n_paras, n_kept, kept_md5)`` where kept_md5
+    digests the reconstructed text (empty-string digest when every
+    paragraph was seen earlier).
+
+    This is the first stage of CCNet's dedup (paragraph-hash dedup
+    before any fuzzy pass): boilerplate paragraphs repeated across a
+    crawl vanish from all but one document. Deterministic by
+    construction — a paragraph's keeper depends only on the global min
+    (doc_id, pos) witness, not on partition layout.
+
+    Scale shape: posexplode → ONE groupBy on the paragraph digest
+    (min-witness agg, map-side combinable) → broadcast-or-shuffle join
+    back on the digest → per-doc ordered reconstruction via
+    array_sort(collect_list(struct(pos, para))) (deterministic despite
+    collect_list's arrival order, because the sort is by pos). The only
+    corpus-shaped shuffles are the digest agg and the per-doc regroup —
+    the same two any exact-dedup pass pays."""
+    import re
+    paras = (docs
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode(F.split(F.col(text_col),
+                                          re.escape(sep)))
+                     .alias("pos", "para"))
+             .filter(F.col("para") != ""))
+    paras = paras.withColumn("dg", F.md5(F.col("para").cast("string")))
+    first = (paras.groupBy("dg")
+             .agg(F.min(F.struct("id", "pos")).alias("w"))
+             .select("dg", F.col("w.id").alias("w_id"),
+                     F.col("w.pos").alias("w_pos")))
+    flagged = (paras.join(first, "dg")
+               .withColumn("kept", (F.col("id") == F.col("w_id"))
+                           & (F.col("pos") == F.col("w_pos"))))
+    return (flagged.groupBy("id")
+            .agg(F.count("*").alias("n_paras"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 F.md5(F.concat_ws(
+                     sep,
+                     F.transform(
+                         F.array_sort(F.filter(
+                             F.collect_list(F.when(
+                                 F.col("kept"),
+                                 F.struct("pos", "para"))),
+                             lambda s: s.isNotNull())),
+                         lambda s: s.getField("para"))).cast("string"))
+                 .alias("kept_md5")))

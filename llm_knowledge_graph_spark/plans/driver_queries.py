@@ -2923,3 +2923,66 @@ ORACLE_SQL["dup_cluster_histogram"] = """
     GROUP BY cluster_size, n_total ORDER BY cluster_size
 """
 SQL_QUERIES["dup_cluster_histogram"] = q_dup_cluster_histogram
+
+
+def q_doc_paragraph_dedup(spark, sf_dir):
+    """CCNet-stage paragraph dedup (dedup.paragraph_dedup): first-witness
+    keeps per exact paragraph corpus-wide, each doc reconstructed from
+    its kept paragraphs and digested. The sf corpus is an unpunctuated
+    word stream, so paragraph structure is fabricated deterministically
+    on BOTH engines: every doc's own lead-10-token paragraph, a shared
+    boilerplate paragraph on doc_id%3==0 (one global dup cluster), and
+    the decade-leader's lead-10 paragraph on doc_id%2==0 (50 clusters
+    of ~5). The md5 of every reconstructed doc must match — a byte-level
+    check on kept-set AND reconstruction order."""
+    from ..operators.dedup import paragraph_dedup
+    d = _t(spark, sf_dir, "documents")
+    lead = d.select("doc_id",
+                    F.concat_ws(" ", F.slice(F.split(F.col("text"), " "),
+                                             1, 10)).alias("l10"))
+    leaders = lead.select(F.col("doc_id").alias("lid"),
+                          F.col("l10").alias("lead_l10"))
+    fab = (lead.join(F.broadcast(leaders),
+                     (F.col("doc_id") - F.col("doc_id") % 10)
+                     == F.col("lid"))
+           .select("doc_id",
+                   F.concat(
+                       F.col("l10"),
+                       F.when(F.col("doc_id") % 3 == 0,
+                              ". boilerplate footer subscribe now")
+                       .otherwise(""),
+                       F.when(F.col("doc_id") % 2 == 0,
+                              F.concat(F.lit(". "), F.col("lead_l10")))
+                       .otherwise("")).alias("text")))
+    return paragraph_dedup(fab, "doc_id", "text").orderBy("id")
+
+
+ORACLE_SQL["doc_paragraph_dedup"] = """
+    WITH lead AS (SELECT doc_id,
+                         array_to_string(string_split(text, ' ')[1:10], ' ')
+                           AS l10
+                  FROM documents),
+    fab AS (SELECT a.doc_id AS id,
+                   a.l10
+                   || CASE WHEN a.doc_id % 3 = 0
+                           THEN '. boilerplate footer subscribe now'
+                           ELSE '' END
+                   || CASE WHEN a.doc_id % 2 = 0 THEN '. ' || b.l10
+                           ELSE '' END AS text
+            FROM lead a JOIN lead b
+              ON b.doc_id = a.doc_id - (a.doc_id % 10)),
+    paras AS (SELECT id, i AS pos, ps[i] AS para
+              FROM (SELECT id, string_split(text, '. ') AS ps FROM fab) t,
+                   unnest(range(1, len(ps) + 1)) r(i)
+              WHERE ps[i] <> ''),
+    flagged AS (SELECT id, pos, para,
+                       ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                          ORDER BY id, pos) = 1 AS kept
+                FROM paras)
+    SELECT id, COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(para, '. ' ORDER BY pos)
+                        FILTER (WHERE kept), '')) AS kept_md5
+    FROM flagged GROUP BY id ORDER BY id
+"""
+SQL_QUERIES["doc_paragraph_dedup"] = q_doc_paragraph_dedup

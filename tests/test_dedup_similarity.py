@@ -352,3 +352,30 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path, planted_embeddin
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters", 1)[1][:200]
+
+
+def test_paragraph_dedup_first_witness_and_reconstruction(spark):
+    """Hand-computable corpus: shared paragraphs survive only at their
+    global (doc_id, pos) first witness; reconstruction preserves
+    within-doc order of kept paragraphs."""
+    import hashlib
+    from llm_knowledge_graph_spark.operators.dedup import paragraph_dedup
+    rows = [
+        (1, "alpha. shared one. beta"),
+        (2, "shared one. gamma. shared two"),
+        (3, "shared two. shared one. delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.n_paras, r.n_kept, r.kept_md5)
+           for r in paragraph_dedup(df, "doc_id", "text").collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1 keeps everything (it is the first witness of 'shared one')
+    assert got[1] == (3, 3, h("alpha. shared one. beta"))
+    # doc 2 loses 'shared one' (doc 1 owns it), keeps gamma + first
+    # 'shared two'
+    assert got[2] == (3, 2, h("gamma. shared two"))
+    # doc 3 loses both shared paragraphs
+    assert got[3] == (3, 1, h("delta"))
