@@ -97,7 +97,7 @@ _FRONT = [
 # Oracled queries past the round-3 budget line (the 50 _FRONT slots are
 # full) — ROUND 4: promote these into _FRONT for driver evidence.
 _R4_PRIORITY = [
-    "doc_paragraph_dedup",
+    "doc_paragraph_dedup", "vocab_growth", "zipf_band_histogram",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

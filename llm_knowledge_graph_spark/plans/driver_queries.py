@@ -2986,3 +2986,78 @@ ORACLE_SQL["doc_paragraph_dedup"] = """
     FROM flagged GROUP BY id ORDER BY id
 """
 SQL_QUERIES["doc_paragraph_dedup"] = q_doc_paragraph_dedup
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth over word 3-GRAM types (the unit an
+    n-gram LM / tokenizer capacity plan sizes; the unigram vocab of the
+    sf corpus saturates at 31 words, useless as a curve): distinct
+    3-gram types seen within the first k documents, for five
+    checkpoints, WITHOUT rescanning per checkpoint — vocab(k) =
+    #{grams whose FIRST witness doc_id < k}, so ONE (gram →
+    min(doc_id)) aggregate feeds all checkpoints via a 5-way explode of
+    the vocab-sized frame (never the corpus)."""
+    from ..operators.dedup import _word_shingles
+    d = _t(spark, sf_dir, "documents")
+    first = (_word_shingles(d, 3, "doc_id", "text")
+             .groupBy("g").agg(F.min("id").alias("first_doc")))
+    cp = F.explode(F.array(*[F.lit(c) for c in
+                             (100, 200, 300, 400, 500)]))
+    return (first.select("first_doc", cp.alias("checkpoint"))
+            .groupBy("checkpoint")
+            .agg(F.sum((F.col("first_doc") < F.col("checkpoint"))
+                       .cast("long")).alias("vocab_size"))
+            .orderBy("checkpoint"))
+
+
+ORACLE_SQL["vocab_growth"] = """
+    WITH grams AS (SELECT doc_id,
+                          array_to_string(toks[i:i+2], ' ') AS g
+                   FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents) t,
+                        unnest(range(1, len(toks) - 1)) r(i)
+                   WHERE len(toks) >= 3),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT checkpoint,
+           CAST(SUM(CASE WHEN first_doc < checkpoint THEN 1 ELSE 0 END)
+                AS BIGINT) AS vocab_size
+    FROM first CROSS JOIN
+         (SELECT unnest([100, 200, 300, 400, 500]) AS checkpoint) c
+    GROUP BY checkpoint ORDER BY checkpoint
+"""
+SQL_QUERIES["vocab_growth"] = q_vocab_growth
+
+
+def q_zipf_band_histogram(spark, sf_dir):
+    """Zipf frequency-band histogram: vocabulary binned by
+    floor(log2(count)) — how token mass splits between the head (the
+    bands a broadcast vocab covers) and the tail (the default-count-1
+    regime the surprisal scorer exploits), over word BIGRAM types (the
+    unigram vocab of the sf corpus is 31 words — two bands, no curve).
+    One vocab-sized agg over the gram stream; the band arithmetic is
+    the portable floor-log2."""
+    from ..operators.dedup import _word_shingles
+    from ..operators.surprisal import _flog2
+    d = _t(spark, sf_dir, "documents")
+    vocab = (_word_shingles(d, 2, "doc_id", "text")
+             .groupBy("g").agg(F.count("*").alias("c")))
+    return (vocab.withColumn("band", _flog2(F.col("c")))
+            .groupBy("band")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("c").alias("token_mass"))
+            .orderBy("band"))
+
+
+ORACLE_SQL["zipf_band_histogram"] = """
+    WITH grams AS (SELECT array_to_string(toks[i:i+1], ' ') AS g
+                   FROM (SELECT string_split(text, ' ') AS toks
+                         FROM documents) t,
+                        unnest(range(1, len(toks))) r(i)
+                   WHERE len(toks) >= 2),
+    vocab AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
+    SELECT (length(bin(c)) - 1) AS band,
+           COUNT(*) AS n_words,
+           CAST(SUM(c) AS BIGINT) AS token_mass
+    FROM vocab GROUP BY band ORDER BY band
+"""
+SQL_QUERIES["zipf_band_histogram"] = q_zipf_band_histogram
