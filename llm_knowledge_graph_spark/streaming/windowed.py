@@ -203,3 +203,17 @@ def streaming_hll_registers(stream_df: DataFrame, key_col: str,
     hll_distinct is asserted in tests/test_streaming_windowed.py."""
     from ..operators.sketches import hll_registers
     return hll_registers(stream_df, key_col, item_col)
+
+
+def streaming_cms_counters(stream_counts: DataFrame, item_col: str,
+                           weight_col: str) -> DataFrame:
+    """Streaming heavy-hitter sketch: the count-min grid build
+    (operators/sketches.cms_counters) run AS the streaming aggregation.
+    State is the d×w counter grid itself — ≤16,384 rows forever —
+    because elementwise + is the mergeable accumulator (the same law
+    tests/test_sketches.py::test_cms_grids_merge_by_sum pins for batch
+    shards). Drain with complete output, then point-estimate from the
+    drained grid with sketches.cms_estimate; estimates match the batch
+    grid exactly (asserted in tests/test_streaming_windowed.py)."""
+    from ..operators.sketches import cms_counters
+    return cms_counters(stream_counts, item_col, weight_col)

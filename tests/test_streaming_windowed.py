@@ -161,3 +161,40 @@ def test_streaming_hll_equals_batch(spark):
     want = {r.lang: r.n_hll for r in
             hll_distinct(words(batch), "lang", "w").collect()}
     assert got == want and len(want) >= 2
+
+
+def test_streaming_cms_equals_batch(spark):
+    """Heavy-hitter grid over a stream: drained counter state yields
+    IDENTICAL point estimates to the batch grid (elementwise-sum merge
+    across micro-batches is lossless)."""
+    from llm_knowledge_graph_spark.operators.sketches import (
+        cms_counters, cms_estimate)
+    from llm_knowledge_graph_spark.streaming.windowed import \
+        streaming_cms_counters
+    src_dir = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{src_dir}/documents.parquet")
+    schema = batch.schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src_dir))
+
+    def weighted_tokens(df):
+        return (df.select(F.explode(F.split(F.col("text"), " "))
+                          .alias("w"))
+                .withColumn("cnt", F.lit(1).cast("long")))
+
+    grid = streaming_cms_counters(weighted_tokens(stream), "w", "cnt")
+    q = (grid.writeStream.format("memory").queryName("cms_grid")
+         .outputMode("complete").trigger(availableNow=True).start())
+    _drain(q)
+
+    counts = (weighted_tokens(batch).groupBy("w")
+              .agg(F.sum("cnt").alias("cnt")))
+    probes = counts.orderBy(F.desc("cnt"), "w").limit(20)
+    got = {r.w: r.cms_est for r in
+           cms_estimate(probes, spark.table("cms_grid"), "w").collect()}
+    want = {r.w: r.cms_est for r in
+            cms_estimate(probes, cms_counters(counts, "w", "cnt"),
+                         "w").collect()}
+    assert got == want and len(want) == 20
