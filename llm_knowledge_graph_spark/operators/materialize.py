@@ -70,3 +70,45 @@ def read_graph(spark: SparkSession, out_dir: str, fmt: str = "parquet"):
     nodes = spark.read.format(fmt).load(f"{out_dir}/nodes")
     edges = spark.read.format(fmt).load(f"{out_dir}/edges")
     return nodes, edges
+
+
+def write_graph_bucketed_tables(spark: SparkSession, nodes: DataFrame,
+                                edges: DataFrame, path: str,
+                                prefix: str = "kg",
+                                n_buckets: int = 32) -> tuple:
+    """Catalog-registered BUCKETED graph tables: ``bucketBy(N, key)``
+    + ``sortBy(key)`` + ``saveAsTable``, nodes bucketed on ``id`` and
+    edges on ``subj`` with the SAME bucket count.
+
+    This is the Spark-native co-location contract the parquet sink's
+    `subj_bucket` directory layout emulates and the Iceberg adapter's
+    `bucket(N, subj)` transform provides natively: because both sides
+    are bucketed AND sorted on the join key, a nodes⋈edges sort-merge
+    join reads bucket k against bucket k directly — NO Exchange on
+    either side, and NO Sort either once the scan exposes the sortBy
+    order (`spark.sql.legacy.bucketedTableScan.outputOrdering=true`,
+    valid here because the writer repartitions to ONE file per bucket;
+    both plans asserted in tests/test_bucketed_join.py).
+    At 100 TB that deletes the single biggest shuffle of the serving
+    path (edge traversals joining back to node attributes).
+
+    Returns the (nodes_table, edges_table) names."""
+    nt, et = f"{prefix}_nodes_b", f"{prefix}_edges_b"
+    for name in (nt, et):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # repartition on the bucket key FIRST (same Murmur3 family as the
+    # bucket spec → exact co-location): one file per bucket, which is
+    # the condition under which Spark trusts the sortBy metadata and
+    # drops the join-side Sort. Without it each task writes its own
+    # file per bucket and the read path re-sorts.
+    (nodes.repartition(n_buckets, F.col("id"))
+     .write.mode("overwrite")
+     .option("path", f"{path}/{nt}")
+     .bucketBy(n_buckets, "id").sortBy("id")
+     .format("parquet").saveAsTable(nt))
+    (edges.repartition(n_buckets, F.col("subj"))
+     .write.mode("overwrite")
+     .option("path", f"{path}/{et}")
+     .bucketBy(n_buckets, "subj").sortBy("subj")
+     .format("parquet").saveAsTable(et))
+    return nt, et
