@@ -382,3 +382,43 @@ def link_prediction_ra(edges: DataFrame, max_degree: int = 0,
         F.count("*").alias("n_common"),
         F.sum(F.expr(f"{scale} div deg")).alias("ra_score_units"))
     )
+
+
+def k_core(edges: DataFrame, k: int, rounds: int,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bounded-peel k-core decomposition of the undirected simple graph
+    underlying a (src, dst) edge list: exactly ``rounds`` peel
+    iterations (drop nodes with degree < k, drop edges touching them),
+    then report the remaining nodes with their degrees.
+
+    The FIXED iteration count is the pinned engine contract (like
+    pagerank_exact's 10 iterations and the BPE 8-merge unroll): an
+    unrolled SQL twin replays the identical rounds, and because a peel
+    past the fixpoint is a no-op, any bound ≥ the convergence depth
+    yields the true k-core while still matching the oracle ROUND FOR
+    ROUND when convergence is deeper than the bound.
+
+    Per round: one both-directions projection, one map-side-combinable
+    degree aggregate, two (left-)semi joins on the endpoint key;
+    localCheckpoint truncates the iterative lineage. At 100 TB the
+    degree agg and the semi joins share the node-id partitioning, so
+    each peel is one shuffle of the surviving edge set — and the edge
+    set only shrinks.
+
+    Returns (id, deg) over the surviving nodes, deg ≥ k at fixpoint.
+    """
+    cur = (edges.filter(F.col(src) != F.col(dst))
+           .select(F.least(src, dst).alias("x"),
+                   F.greatest(src, dst).alias("y"))
+           .distinct().localCheckpoint())
+    for _ in range(rounds):
+        und = cur.select(F.col("x").alias("z")).union(
+            cur.select(F.col("y")))
+        keep = (und.groupBy("z").agg(F.count("*").alias("c"))
+                .filter(F.col("c") >= k).select("z"))
+        cur = (cur.join(keep, cur["x"] == keep["z"], "left_semi")
+               .join(keep, cur["y"] == keep["z"], "left_semi")
+               .localCheckpoint())
+    und = cur.select(F.col("x").alias("id")).union(
+        cur.select(F.col("y")))
+    return und.groupBy("id").agg(F.count("*").cast("long").alias("deg"))

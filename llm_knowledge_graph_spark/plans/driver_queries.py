@@ -3061,3 +3061,72 @@ ORACLE_SQL["zipf_band_histogram"] = """
     FROM vocab GROUP BY band ORDER BY band
 """
 SQL_QUERIES["zipf_band_histogram"] = q_zipf_band_histogram
+
+
+def _bigram_edges(d):
+    """Adjacent-BIGRAM graph (nodes = word bigrams, edges = 3-gram
+    support) — sparser and Zipf-skewed where the word graph is
+    near-complete (31 nodes, min degree 15), so core decomposition has
+    real peel dynamics. Spark twin of _BIGRAM_EDGES_CTE."""
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.element_at(toks, i),
+                        F.element_at(toks, i + 1)).alias("src"),
+            F.concat_ws(" ", F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2)).alias("dst")))
+    return (d.filter(F.size(toks) >= 3)
+            .select(F.explode(pairs).alias("p"))
+            .select("p.src", "p.dst").distinct())
+
+
+_BIGRAM_EDGES_CTE = """
+    SELECT DISTINCT array_to_string(w[i:i+1], ' ') AS src,
+                    array_to_string(w[i+1:i+2], ' ') AS dst
+    FROM (SELECT string_split(text, ' ') w FROM documents) t,
+         unnest(range(1, len(w) - 1)) r(i)
+    WHERE len(w) >= 3
+"""
+
+
+def q_word_kcore(spark, sf_dir):
+    """Bounded-peel k-core (components.k_core, k=26, 6 rounds) over the
+    adjacent-bigram graph — the third fully-value-hashed ITERATIVE
+    algorithm (after the 10-iteration PageRank and the 8-merge BPE):
+    the oracle unrolls the identical 6 peel rounds. At sf0.01 the peel
+    converges in 3 rounds (16,058 → 15,315 edges), so rounds 4-6 are
+    provably no-ops and the result is the true 26-core."""
+    from ..operators.components import k_core
+    edges = _bigram_edges(_t(spark, sf_dir, "documents"))
+    return k_core(edges, k=26, rounds=6).orderBy("id")
+
+
+def _kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
+    # AS MATERIALIZED: each c[i-1] is referenced three times per round;
+    # inlining would re-expand the whole chain (3^rounds parquet scans —
+    # observed as DuckDB "too many open files")
+    parts = [f"WITH bedges AS MATERIALIZED ({edges_cte}),",
+             "c0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS x,"
+             " GREATEST(src, dst) AS y FROM bedges WHERE src <> dst),"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT z FROM ("
+            f"SELECT z, COUNT(*) AS c FROM ("
+            f"SELECT x AS z FROM c{i - 1} UNION ALL SELECT y FROM c{i - 1}"
+            f") u GROUP BY z) d WHERE c >= {k}),")
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT x, y FROM c{i - 1}"
+            f" WHERE x IN (SELECT z FROM k{i})"
+            f" AND y IN (SELECT z FROM k{i})),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, COUNT(*) AS deg FROM ("
+        f"SELECT x AS id FROM c{rounds} UNION ALL SELECT y FROM c{rounds}"
+        f") u GROUP BY id ORDER BY id")
+    return "\n".join(parts)
+
+
+ORACLE_SQL["word_kcore"] = _kcore_oracle_sql(_BIGRAM_EDGES_CTE, 26, 6)
+SQL_QUERIES["word_kcore"] = q_word_kcore

@@ -249,3 +249,21 @@ def test_bfs_distances_min_depth_and_cap(spark):
                  edges, spark.createDataFrame([("s",), ("c",)],
                                               "id string"), 4).collect()}
     assert multi == {"s": 0, "c": 0, "a": 1, "b": 1, "d": 1}
+
+
+def test_k_core_peels_cascade(spark):
+    """Clique K4 + a pendant chain: the 3-core is exactly the clique,
+    and the chain peels over MULTIPLE rounds (a one-round degree filter
+    would leave chain remnants)."""
+    from pyspark.sql import functions as F
+    from llm_knowledge_graph_spark.operators.components import k_core
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    extra = [("e", "c")]  # e has degree 3 initially, still not core
+    edges = spark.createDataFrame(clique + chain + extra,
+                                  "src string, dst string")
+    got = {r.id: r.deg for r in k_core(edges, k=3, rounds=5).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # one round is NOT enough: e survives round 1 (degree 3: d, f, c)
+    one = {r.id for r in k_core(edges, k=3, rounds=1).collect()}
+    assert "e" in one
