@@ -3130,3 +3130,54 @@ def _kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
 
 ORACLE_SQL["word_kcore"] = _kcore_oracle_sql(_BIGRAM_EDGES_CTE, 26, 6)
 SQL_QUERIES["word_kcore"] = q_word_kcore
+
+
+def q_crawl_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl diff (snapshots.snapshot_diff): snapshot B is
+    fabricated from the documents table — doc_id%17==0 disappear
+    (gone), %13==0 get edited text (changed), and a %19==0 cohort
+    re-appears under new ids (new) — then the per-status counts drive
+    the reprocess-only-what-changed decision (at 10^12 docs the 'same'
+    skip rate IS the cost model). One thin (key, digest) full-outer
+    join; page bodies never shuffle."""
+    from ..operators.snapshots import snapshot_diff
+    d = _t(spark, sf_dir, "documents")
+    old = d.select(F.concat(F.lit("doc://"), F.col("doc_id"))
+                   .alias("url"), "text")
+    surv = (d.filter(F.col("doc_id") % 17 != 0)
+            .select(F.concat(F.lit("doc://"), F.col("doc_id"))
+                    .alias("url"),
+                    F.when(F.col("doc_id") % 13 == 0,
+                           F.concat(F.col("text"), F.lit(" edited")))
+                    .otherwise(F.col("text")).alias("text")))
+    added = (d.filter(F.col("doc_id") % 19 == 0)
+             .select(F.concat(F.lit("doc://"),
+                              F.col("doc_id") + 10000).alias("url"),
+                     "text"))
+    new = surv.unionByName(added)
+    return (snapshot_diff(old, new, "url")
+            .groupBy("status").agg(F.count("*").alias("n"))
+            .orderBy("status"))
+
+
+ORACLE_SQL["crawl_snapshot_diff"] = """
+    WITH old AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                        md5(text) AS dg
+                 FROM documents),
+    nw AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                  md5(CASE WHEN doc_id % 13 = 0 THEN text || ' edited'
+                           ELSE text END) AS dg
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT 'doc://' || CAST(doc_id + 10000 AS VARCHAR),
+                  md5(text)
+           FROM documents WHERE doc_id % 19 = 0),
+    j AS (SELECT COALESCE(old.url, nw.url) AS url,
+                 CASE WHEN old.url IS NULL THEN 'new'
+                      WHEN nw.url IS NULL THEN 'gone'
+                      WHEN old.dg = nw.dg THEN 'same'
+                      ELSE 'changed' END AS status
+          FROM old FULL OUTER JOIN nw ON old.url = nw.url)
+    SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status
+"""
+SQL_QUERIES["crawl_snapshot_diff"] = q_crawl_snapshot_diff

@@ -379,3 +379,21 @@ def test_paragraph_dedup_first_witness_and_reconstruction(spark):
     assert got[2] == (3, 2, h("gamma. shared two"))
     # doc 3 loses both shared paragraphs
     assert got[3] == (3, 1, h("delta"))
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses, including the null-text edge: a url whose
+    body is null in BOTH snapshots is 'same' (presence, not digest
+    nullness, decides new/gone)."""
+    from llm_knowledge_graph_spark.operators.snapshots import \
+        snapshot_diff
+    old = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z"), ("n", None)],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("a", "x"), ("b", "y2"), ("d", "w"), ("n", None)],
+        "url string, text string")
+    got = {r.url: r.status
+           for r in snapshot_diff(old, new, "url").collect()}
+    assert got == {"a": "same", "b": "changed", "c": "gone",
+                   "d": "new", "n": "same"}
