@@ -98,7 +98,7 @@ _FRONT = [
 # full) — ROUND 4: promote these into _FRONT for driver evidence.
 _R4_PRIORITY = [
     "doc_paragraph_dedup", "vocab_growth", "zipf_band_histogram",
-    "word_kcore", "crawl_snapshot_diff",
+    "word_kcore", "crawl_snapshot_diff", "events_zorder_pruning",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

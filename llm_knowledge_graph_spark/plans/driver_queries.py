@@ -3181,3 +3181,103 @@ ORACLE_SQL["crawl_snapshot_diff"] = """
     SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status
 """
 SQL_QUERIES["crawl_snapshot_diff"] = q_crawl_snapshot_diff
+
+
+def q_events_zorder_pruning(spark, sf_dir):
+    """Z-order layout pruning report (operators/layout.py): assign events
+    to 32 'files' under three layouts — time-sorted, user-sorted, and
+    Morton z-order over (user_id, epoch-second) — then count how many
+    files' min/max footer ranges a point predicate on EITHER dimension
+    would touch. The linear sorts each serve ONE probe family and
+    degrade to scan-everything on the other; z-order stays within a few
+    files for both — the Delta OPTIMIZE ZORDER / Iceberg sort-order
+    rewrite rationale, value-verified because the interleaved-bit curve
+    is integer-exact on both engines. File id = ntile over a total
+    order (the deterministic twin of the scale path's
+    repartitionByRange — see layout.zorder_write)."""
+    from ..operators.layout import cluster_files, with_zvalue
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("ts").cast("timestamp").cast("double"))
+        .cast("long").alias("sec"))
+    keyed = with_zvalue(ev, "user_id", "sec", bits=10)
+    parts = []
+    for layout, key in (("by_ts", "sec"), ("by_user", "user_id"),
+                        ("zorder", "z")):
+        f = cluster_files(keyed, [key, "event_id"], 32)
+        parts.append(f.select(F.lit(layout).alias("layout"), "file_id",
+                              "user_id", "sec"))
+    files = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    stats = files.groupBy("layout", "file_id").agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min(F.expr("sec div 3600")).alias("hmin"),
+        F.max(F.expr("sec div 3600")).alias("hmax"))
+    u_probes = (ev.select("user_id").distinct()
+                .filter(F.col("user_id") % 11 == 3)
+                .withColumnRenamed("user_id", "p"))
+    h_probes = (ev.select(F.expr("sec div 3600").alias("p")).distinct()
+                .filter(F.col("p") % 29 == 5))
+    u_touch = (stats.join(F.broadcast(u_probes),
+                          (F.col("p") >= F.col("umin"))
+                          & (F.col("p") <= F.col("umax")))
+               .groupBy("layout")
+               .agg(F.countDistinct("p").alias("n_probes"),
+                    F.count("*").alias("files_touched"))
+               .select("layout", F.lit("user_point").alias("probe_kind"),
+                       "n_probes", "files_touched"))
+    h_touch = (stats.join(F.broadcast(h_probes),
+                          (F.col("p") >= F.col("hmin"))
+                          & (F.col("p") <= F.col("hmax")))
+               .groupBy("layout")
+               .agg(F.countDistinct("p").alias("n_probes"),
+                    F.count("*").alias("files_touched"))
+               .select("layout", F.lit("hour_point").alias("probe_kind"),
+                       "n_probes", "files_touched"))
+    return u_touch.unionByName(h_touch).orderBy("layout", "probe_kind")
+
+
+def _zorder_oracle_sql() -> str:
+    from ..operators.layout import z_expr_sql
+    z = z_expr_sql("user_id", "sec", "umin_g", "umax_g", "smin_g", "smax_g",
+                   bits=10, dialect="duckdb")
+    return f"""
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    b AS (SELECT MIN(user_id) AS umin_g, MAX(user_id) AS umax_g,
+                 MIN(sec) AS smin_g, MAX(sec) AS smax_g FROM e),
+    keyed AS (SELECT e.*, {z} AS z FROM e CROSS JOIN b),
+    files AS (
+      SELECT 'by_ts' AS layout,
+             ntile(32) OVER (ORDER BY sec, event_id) AS file_id,
+             user_id, sec FROM keyed
+      UNION ALL
+      SELECT 'by_user',
+             ntile(32) OVER (ORDER BY user_id, event_id),
+             user_id, sec FROM keyed
+      UNION ALL
+      SELECT 'zorder',
+             ntile(32) OVER (ORDER BY z, event_id),
+             user_id, sec FROM keyed),
+    stats AS (SELECT layout, file_id,
+                     MIN(user_id) AS umin, MAX(user_id) AS umax,
+                     MIN(sec // 3600) AS hmin, MAX(sec // 3600) AS hmax
+              FROM files GROUP BY layout, file_id),
+    up AS (SELECT DISTINCT user_id AS p FROM e WHERE user_id % 11 = 3),
+    hp AS (SELECT DISTINCT sec // 3600 AS p FROM e
+           WHERE (sec // 3600) % 29 = 5),
+    ut AS (SELECT layout, 'user_point' AS probe_kind,
+                  COUNT(DISTINCT p) AS n_probes,
+                  COUNT(*) AS files_touched
+           FROM stats JOIN up ON p BETWEEN umin AND umax GROUP BY layout),
+    ht AS (SELECT layout, 'hour_point' AS probe_kind,
+                  COUNT(DISTINCT p) AS n_probes,
+                  COUNT(*) AS files_touched
+           FROM stats JOIN hp ON p BETWEEN hmin AND hmax GROUP BY layout)
+    SELECT * FROM ut UNION ALL SELECT * FROM ht
+    ORDER BY layout, probe_kind
+"""
+
+
+ORACLE_SQL["events_zorder_pruning"] = _zorder_oracle_sql()
+SQL_QUERIES["events_zorder_pruning"] = q_events_zorder_pruning
