@@ -3281,3 +3281,43 @@ def _zorder_oracle_sql() -> str:
 
 ORACLE_SQL["events_zorder_pruning"] = _zorder_oracle_sql()
 SQL_QUERIES["events_zorder_pruning"] = q_events_zorder_pruning
+
+
+def q_events_stream_enriched(spark, sf_dir):
+    """Stream-static broadcast enrichment, VALUE-VERIFIED: the events
+    file stream joins a static user→tier dim per micro-batch (broadcast,
+    stateless) and rolls up integer cents/points per tier; drained with
+    availableNow, the complete-mode result equals the plain batch
+    join+agg, which the DuckDB oracle re-derives from user_id % 4
+    arithmetic (streaming/windowed.stream_static_enriched_counts)."""
+    from ..streaming.windowed import (stream_static_enriched_counts,
+                                      user_tier_dim)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = user_tier_dim(batch)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = stream_static_enriched_counts(stream, dim)
+    q = (agg.writeStream.format("memory")
+         .queryName("events_stream_enriched")
+         .outputMode("complete").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("events_stream_enriched did not drain in 120s")
+    return (spark.table("events_stream_enriched")
+            .select("tier", "n_events", "value_cents", "points")
+            .orderBy("tier"))
+
+
+ORACLE_SQL["events_stream_enriched"] = """
+    SELECT CASE WHEN user_id % 4 = 0 THEN 'bronze'
+                WHEN user_id % 4 = 1 THEN 'silver'
+                WHEN user_id % 4 = 2 THEN 'gold'
+                ELSE 'vip' END AS tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * (user_id % 4 + 1))
+             AS BIGINT) AS points
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+SQL_QUERIES["events_stream_enriched"] = q_events_stream_enriched

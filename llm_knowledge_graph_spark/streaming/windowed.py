@@ -217,3 +217,46 @@ def streaming_cms_counters(stream_counts: DataFrame, item_col: str,
     grid exactly (asserted in tests/test_streaming_windowed.py)."""
     from ..operators.sketches import cms_counters
     return cms_counters(stream_counts, item_col, weight_col)
+
+
+def user_tier_dim(events_batch: DataFrame) -> DataFrame:
+    """Deterministic user→tier dimension derived from the batch events
+    table (the sandbox has no separate users table): tier cycles with
+    user_id % 4 and carries an integer points multiplier. Stands in for
+    the slowly-changing profile/dim table a real pipeline joins."""
+    tier = (F.when(F.col("user_id") % 4 == 0, "bronze")
+            .when(F.col("user_id") % 4 == 1, "silver")
+            .when(F.col("user_id") % 4 == 2, "gold")
+            .otherwise("vip"))
+    return (events_batch.select("user_id").distinct()
+            .withColumn("tier", tier)
+            .withColumn("mult", (F.col("user_id") % 4 + 1).cast("long")))
+
+
+def stream_static_enriched_counts(events_stream: DataFrame,
+                                  dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: per-micro-batch BROADCAST hash join of
+    the unbounded event stream against a bounded static dimension, then
+    a global per-tier rollup — the canonical 'enrich the firehose with
+    the profile table' shape. The static side is re-planned each batch
+    (so a dim refresh is picked up) and never shuffles the stream; the
+    join itself is stateless, all streaming state lives in the final
+    aggregation (one row per tier). Integer cents/points only."""
+    ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (ev.join(F.broadcast(dim), "user_id")
+            .groupBy("tier")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(cents).alias("value_cents"),
+                 F.sum(cents * F.col("mult")).alias("points")))
+
+
+def batch_stream_static_enriched_counts(events: DataFrame,
+                                        dim: DataFrame) -> DataFrame:
+    """Batch twin of stream_static_enriched_counts (equality oracle)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (events.join(F.broadcast(dim), "user_id")
+            .groupBy("tier")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(cents).alias("value_cents"),
+                 F.sum(cents * F.col("mult")).alias("points")))

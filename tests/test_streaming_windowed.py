@@ -198,3 +198,35 @@ def test_streaming_cms_equals_batch(spark):
             cms_estimate(probes, cms_counters(counts, "w", "cnt"),
                          "w").collect()}
     assert got == want and len(want) == 20
+
+
+def test_stream_static_enriched_equals_batch(spark):
+    """Stream-static broadcast join: drained complete-mode per-tier
+    rollup equals the batch join+agg twin, and the static dim side is
+    physically broadcast (no shuffle of the stream for the join)."""
+    from llm_knowledge_graph_spark.streaming.windowed import (
+        batch_stream_static_enriched_counts, stream_static_enriched_counts,
+        user_tier_dim)
+    src_dir = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{src_dir}/events.parquet")
+    dim = user_tier_dim(batch)
+
+    twin = batch_stream_static_enriched_counts(batch, dim)
+    plan = twin._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(src_dir))
+    agg = stream_static_enriched_counts(stream, dim)
+    q = (agg.writeStream.format("memory").queryName("enriched_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    _drain(q)
+    got = {r["tier"]: (r["n_events"], r["value_cents"], r["points"])
+           for r in spark.table("enriched_test").collect()}
+    want = {r["tier"]: (r["n_events"], r["value_cents"], r["points"])
+            for r in twin.collect()}
+    assert got == want and len(want) == 4
+    # points really are mult-weighted: strictly more than cents for any
+    # tier with mult > 1
+    for tier in ("silver", "gold", "vip"):
+        assert got[tier][2] > got[tier][1]
