@@ -99,7 +99,7 @@ _FRONT = [
 _R4_PRIORITY = [
     "doc_paragraph_dedup", "vocab_growth", "zipf_band_histogram",
     "word_kcore", "crawl_snapshot_diff", "events_zorder_pruning",
-    "events_stream_enriched",
+    "events_stream_enriched", "word_ppr_topk",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

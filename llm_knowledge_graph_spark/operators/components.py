@@ -422,3 +422,55 @@ def k_core(edges: DataFrame, k: int, rounds: int,
     und = cur.select(F.col("x").alias("id")).union(
         cur.select(F.col("y")))
     return und.groupBy("id").agg(F.count("*").cast("long").alias("deg"))
+
+
+def personalized_pagerank_exact(edges: DataFrame, seeds: DataFrame,
+                                n_iterations: int = 8,
+                                damping_pct: int = 85,
+                                scale: int = 10 ** 12) -> DataFrame:
+    """Integer-exact PERSONALIZED PageRank: teleport mass returns only
+    to the ``seeds`` node set (one column ``id``), so rank measures
+    proximity to the seeds — the GraphRAG 'expand relevance around the
+    query entities' primitive (the global-teleport variant is
+    pagerank_exact above; same arithmetic, same bit-identical
+    cross-engine guarantee, same per-iteration shuffle shape).
+
+    Initial mass and the per-iteration (1-d) restart are split evenly
+    over the seeds in integer units; non-seed nodes start (and restart)
+    at 0, so any node unreachable from the seeds holds rank 0 forever —
+    asserted in tests/test_ppr.py. Returns (id, rank_units).
+    """
+    nodes = (edges.select(F.col("src").alias("id"))
+             .union(edges.select(F.col("dst")))
+             .distinct().localCheckpoint())
+    seed_ids = seeds.select("id").distinct().localCheckpoint()
+    ns = seed_ids.count()
+    if ns == 0:
+        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e = edges.join(outdeg, "src").localCheckpoint()
+    keep = 100 - damping_pct
+    seed_base = (scale * keep // 100) // ns
+    flagged = (nodes.join(seed_ids.withColumn("__seed", F.lit(1)),
+                          "id", "left")
+               .select("id", F.coalesce(F.col("__seed"), F.lit(0))
+                       .alias("__seed")).localCheckpoint())
+    ranks = flagged.select(
+        "id", (F.col("__seed") * F.lit(scale // ns)).cast("long")
+        .alias("rank_units"))
+    for _ in range(n_iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .select(F.col("dst"),
+                    F.expr(f"((rank_units * {damping_pct}) div 100)"
+                           " div outdeg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            flagged.join(contrib, flagged["id"] == contrib["dst"], "left")
+            .select("id",
+                    (F.col("__seed") * F.lit(seed_base)
+                     + F.coalesce(F.col("contrib"), F.lit(0)))
+                    .cast("long").alias("rank_units"))
+        ).localCheckpoint()
+    return ranks

@@ -3321,3 +3321,63 @@ ORACLE_SQL["events_stream_enriched"] = """
     FROM events GROUP BY 1 ORDER BY 1
 """
 SQL_QUERIES["events_stream_enriched"] = q_events_stream_enriched
+
+
+def q_word_ppr_topk(spark, sf_dir):
+    """Personalized PageRank (components.personalized_pagerank_exact):
+    teleport restricted to a deterministic 3-word seed set (the three
+    lexicographically-smallest source words) over the adjacent-word
+    digraph — the GraphRAG 'rank entities by proximity to the query
+    seeds' primitive, value-verified bit-exact against an 8x-unrolled
+    integer SQL oracle (the global-teleport twin is word_pagerank)."""
+    from ..operators.components import personalized_pagerank_exact
+    edges = _word_edges(_t(spark, sf_dir, "documents"))
+    seeds = (edges.select(F.col("src").alias("id")).distinct()
+             .orderBy("id").limit(3))
+    return (personalized_pagerank_exact(edges, seeds, n_iterations=8)
+            .filter(F.col("rank_units") > 0)
+            .orderBy(F.desc("rank_units"), "id")
+            .limit(25))
+
+
+def _ppr_oracle_sql(edge_cte: str, n_iter: int = 8, damping_pct: int = 85,
+                    scale: int = 10 ** 12, k: int = 25,
+                    n_seeds: int = 3) -> str:
+    """Unrolled SQL twin of personalized_pagerank_exact — identical
+    integer arithmetic, teleport mass split over the seeds CTE only."""
+    keep = 100 - damping_pct
+    parts = [
+        f"WITH edges AS ({edge_cte}),",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges),",
+        f"seeds AS (SELECT DISTINCT src AS id FROM edges"
+        f" ORDER BY id LIMIT {n_seeds}),",
+        "ns AS (SELECT COUNT(*) AS n FROM seeds),",
+        "flagged AS (SELECT nodes.id,"
+        " CASE WHEN seeds.id IS NULL THEN 0 ELSE 1 END AS seed"
+        " FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "e AS (SELECT edges.src, edges.dst, deg.outdeg"
+        " FROM edges JOIN deg ON edges.src = deg.src),",
+        f"r0 AS (SELECT id, seed * ({scale} // ns.n) AS rank_units"
+        " FROM flagged CROSS JOIN ns),",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"r{i + 1} AS (SELECT flagged.id, "
+            f"flagged.seed * (({scale} * {keep} // 100) // ns.n)"
+            " + COALESCE(s.contrib, 0)"
+            " AS rank_units FROM flagged CROSS JOIN ns LEFT JOIN ("
+            f"SELECT e.dst AS id, CAST(SUM(((r{i}.rank_units"
+            f" * {damping_pct}) // 100) // e.outdeg) AS BIGINT) AS contrib"
+            f" FROM e JOIN r{i} ON e.src = r{i}.id GROUP BY e.dst"
+            ") s ON flagged.id = s.id),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, rank_units FROM r{n_iter}"
+                 f" WHERE rank_units > 0"
+                 f" ORDER BY rank_units DESC, id LIMIT {k}")
+    return "\n".join(parts)
+
+
+ORACLE_SQL["word_ppr_topk"] = _ppr_oracle_sql(_WORD_EDGES_CTE)
+SQL_QUERIES["word_ppr_topk"] = q_word_ppr_topk

@@ -1,0 +1,72 @@
+"""Personalized PageRank (components.personalized_pagerank_exact):
+bit-exact agreement with a plain-Python integer twin, zero rank for
+nodes unreachable from the seeds, and seed-proximity ordering."""
+
+from __future__ import annotations
+
+
+def ppr_py(edges, seeds, n_iter=8, damping_pct=85, scale=10 ** 12):
+    """Plain-Python twin with the identical integer arithmetic."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seeds = sorted(set(seeds))
+    ns = len(seeds)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    keep = 100 - damping_pct
+    seed_base = (scale * keep // 100) // ns
+    r = {n: (scale // ns if n in seeds else 0) for n in nodes}
+    for _ in range(n_iter):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += ((r[s] * damping_pct) // 100) // out[s]
+        r = {n: (seed_base if n in seeds else 0) + contrib[n]
+             for n in nodes}
+    return r
+
+
+# two components: a->b->c->a cycle + a->d fan; x->y disconnected
+EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+         ("x", "y"), ("y", "x")]
+
+
+def _spark_ppr(spark, seeds, n_iter=8):
+    from llm_knowledge_graph_spark.operators.components import (
+        personalized_pagerank_exact)
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in seeds], "id string")
+    return {r.id: r.rank_units
+            for r in personalized_pagerank_exact(e, s, n_iter).collect()}
+
+
+def test_ppr_matches_python_twin(spark):
+    got = _spark_ppr(spark, ["a"])
+    want = ppr_py(EDGES, ["a"])
+    assert got == want
+
+
+def test_ppr_unreachable_component_zero(spark):
+    got = _spark_ppr(spark, ["a"])
+    assert got["x"] == 0 and got["y"] == 0
+    assert got["a"] > 0 and got["b"] > 0
+
+
+def test_ppr_mass_bounded_and_seed_heavy(spark):
+    got = _spark_ppr(spark, ["a"])
+    # integer floor division only loses mass — never exceeds scale
+    assert 0 < sum(got.values()) <= 10 ** 12
+    # the seed outranks everything it merely points at
+    assert got["a"] > got["d"]
+
+
+def test_ppr_two_seeds_split(spark):
+    got = _spark_ppr(spark, ["a", "x"])
+    want = ppr_py(EDGES, ["a", "x"])
+    assert got == want
+    # the x<->y component now holds mass
+    assert got["x"] > 0 and got["y"] > 0
+
+
+def test_ppr_empty_seeds(spark):
+    got = _spark_ppr(spark, [])
+    assert set(got.values()) == {0}
