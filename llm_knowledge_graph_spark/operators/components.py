@@ -440,10 +440,14 @@ def personalized_pagerank_exact(edges: DataFrame, seeds: DataFrame,
     at 0, so any node unreachable from the seeds holds rank 0 forever —
     asserted in tests/test_ppr.py. Returns (id, rank_units).
     """
+    seed_ids = seeds.select("id").distinct().localCheckpoint()
+    # Seeds union-ed in: a seeded node with no edges still holds (and
+    # restarts with) its 1/ns teleport share and appears in the output —
+    # dropping it would silently destroy restart mass every iteration.
     nodes = (edges.select(F.col("src").alias("id"))
              .union(edges.select(F.col("dst")))
+             .union(seed_ids)
              .distinct().localCheckpoint())
-    seed_ids = seeds.select("id").distinct().localCheckpoint()
     ns = seed_ids.count()
     if ns == 0:
         return nodes.withColumn("rank_units", F.lit(0).cast("long"))

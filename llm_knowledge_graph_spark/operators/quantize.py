@@ -25,6 +25,8 @@ final normalization touches floats.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,7 +70,10 @@ def quantized_cosine_topk(quantized: DataFrame, query_vec,
     unchanged (bucket on the DEQUANTIZED prefix or the stored cells).
     """
     mx = max(abs(x) for x in query_vec) or 1.0
-    qq = [int(round(x * 127.0 / mx)) for x in query_vec]
+    # HALF_UP (away from zero), matching F.round / DuckDB round — NOT
+    # Python's banker's round(), which maps e.g. 62.5 -> 62.
+    qq = [int(math.floor(x * 127.0 / mx + 0.5)) if x >= 0
+          else -int(math.floor(-x * 127.0 / mx + 0.5)) for x in query_vec]
     qcol = F.array(*[F.lit(x).cast("tinyint") for x in qq])
     dot = _int_dot(F.col("q"), qcol)
     row_norm = F.sqrt(_int_dot(F.col("q"), F.col("q")).cast("double"))

@@ -36,11 +36,9 @@ BM25_B_MILLI = 750
 RRF_K = 60
 
 
-def _flog2(col):
-    """floor(log2(x)) for x >= 1, 0 for x = 0 — unpadded-binary-string
-    length, identical across Spark conv / DuckDB bin / Python
-    bit_length (operators/surprisal.py's primitive)."""
-    return (F.length(F.conv(col.cast("string"), 10, 2)) - 1).cast("long")
+# One shared floor-log2 primitive — a second copy here would be a
+# divergence hazard (a guard added to one silently missing the other).
+from .surprisal import _flog2  # noqa: E402
 
 
 def bm25_scores(docs: DataFrame, id_col: str, text_col: str,

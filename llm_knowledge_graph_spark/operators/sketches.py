@@ -220,7 +220,12 @@ def cms_estimate(items: DataFrame, counters: DataFrame,
     ex = items.select(item_col, j)
     h = F.md5(F.concat_ws(":", F.col("j"), F.col(item_col)).cast("string"))
     ex = ex.withColumn("bucket", hex_int_col(h, 1, 3))
-    joined = ex.join(F.broadcast(counters), ["j", "bucket"])
+    # LEFT join: a (j, bucket) cell no inserted item hashed to is absent
+    # from the sparse grid and means count 0 — an inner join would drop
+    # it, inflating unseen items to min-over-colliding-cells (or losing
+    # them from the output when all d cells are empty).
+    joined = (ex.join(F.broadcast(counters), ["j", "bucket"], "left")
+                .withColumn("c", F.coalesce("c", F.lit(0).cast("bigint"))))
     return (joined.groupBy(item_col)
             .agg(F.min("c").alias("cms_est")))
 

@@ -3175,7 +3175,7 @@ ORACLE_SQL["crawl_snapshot_diff"] = """
     j AS (SELECT COALESCE(old.url, nw.url) AS url,
                  CASE WHEN old.url IS NULL THEN 'new'
                       WHEN nw.url IS NULL THEN 'gone'
-                      WHEN old.dg = nw.dg THEN 'same'
+                      WHEN old.dg IS NOT DISTINCT FROM nw.dg THEN 'same'
                       ELSE 'changed' END AS status
           FROM old FULL OUTER JOIN nw ON old.url = nw.url)
     SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status

@@ -242,9 +242,8 @@ def stream_static_enriched_counts(events_stream: DataFrame,
     (so a dim refresh is picked up) and never shuffles the stream; the
     join itself is stateless, all streaming state lives in the final
     aggregation (one row per tier). Integer cents/points only."""
-    ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     cents = F.round(F.col("value") * 100).cast("long")
-    return (ev.join(F.broadcast(dim), "user_id")
+    return (events_stream.join(F.broadcast(dim), "user_id")
             .groupBy("tier")
             .agg(F.count("*").alias("n_events"),
                  F.sum(cents).alias("value_cents"),

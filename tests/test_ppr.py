@@ -7,7 +7,8 @@ from __future__ import annotations
 
 def ppr_py(edges, seeds, n_iter=8, damping_pct=85, scale=10 ** 12):
     """Plain-Python twin with the identical integer arithmetic."""
-    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges}
+                   | set(seeds))
     seeds = sorted(set(seeds))
     ns = len(seeds)
     out = {}
@@ -65,6 +66,20 @@ def test_ppr_two_seeds_split(spark):
     assert got == want
     # the x<->y component now holds mass
     assert got["x"] > 0 and got["y"] > 0
+
+
+def test_ppr_isolated_seed_keeps_teleport_share(spark):
+    # Regression: a seed that is not an edge endpoint must still appear
+    # in the output holding its own 1/ns restart mass — the old node
+    # frame (edge endpoints only) silently destroyed half the teleport
+    # mass and returned no row for the seeded node.
+    got = _spark_ppr(spark, ["a", "zzz"])      # zzz has no edges
+    want = ppr_py(EDGES, ["a", "zzz"])
+    assert got == want
+    assert "zzz" in got
+    # zzz receives exactly init + per-iteration restart (nothing flows
+    # in, nothing flows out): its final value is seed_base for ns=2
+    assert got["zzz"] == (10 ** 12 * 15 // 100) // 2
 
 
 def test_ppr_empty_seeds(spark):

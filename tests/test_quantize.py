@@ -87,3 +87,24 @@ def test_quantized_topk_recall_vs_float_baseline(spark):
     assert len(set(got) & set(want)) >= 9  # recall@10 >= 0.9
     for r in got_rows:  # quantized cosine stays a valid cosine
         assert -1.0001 <= r.score <= 1.0001
+
+
+def test_query_quantization_rounds_half_up_like_stored_rows(spark):
+    """Regression: the query vector must quantize with the SAME rounding
+    mode as the stored rows (F.round = HALF_UP, away from zero) — not
+    Python's banker's round(), which maps 62.5 -> 62 while Spark and
+    DuckDB both map it to 63. Exercised with components whose scaled
+    value lands exactly on .5 (x * 127 / mx = 62.5 and -62.5)."""
+    from llm_knowledge_graph_spark.operators.quantize import (
+        quantize_embeddings, quantized_cosine_topk)
+
+    qv = [0.625, -0.625, 1.27]          # mx=1.27 -> scaled 62.5, -62.5, 127
+    emb = spark.createDataFrame([(0, qv)],
+                                "vec_id int, embedding array<float>")
+    stored = {r.vec_id: list(r.q) for r in
+              quantize_embeddings(emb).collect()}[0]
+    assert stored == [63, -63, 127]     # F.round HALF_UP, sign-aware
+    # the self-query must therefore score exactly 1.0 (identical int8
+    # vectors); banker's rounding gave [62, -62, 127] vs [63, -63, 127]
+    row = quantized_cosine_topk(quantize_embeddings(emb), qv, k=1).collect()
+    assert row[0].vec_id == 0 and row[0].score == 1.0

@@ -127,6 +127,31 @@ def test_cms_never_undercounts_and_matches_twin(spark):
         assert got[w] >= counts[w]          # CMS upper-bound invariant
 
 
+def test_cms_unseen_items_estimate_zero_or_collisions(spark):
+    # A probe item never inserted must still get a row, with est = min
+    # over its d cells COUNTING EMPTY CELLS AS 0 — the regression here
+    # was an inner join that dropped empty cells (inflating unseen items
+    # to min-over-colliding-cells, or losing the row entirely).
+    counts = {f"w{i}": 10 for i in range(20)}   # sparse grid: most cells 0
+    df = spark.createDataFrame(list(counts.items()), "w string, cnt long")
+    counters = cms_counters(df, "w", "cnt")
+    probes = [f"unseen-{i}" for i in range(200)]
+    pdf = spark.createDataFrame([(p,) for p in probes], "w string")
+    got = {r.w: r.cms_est for r in cms_estimate(pdf, counters, "w").collect()}
+    grid: dict[tuple[int, int], int] = {}
+    for w, c in counts.items():
+        for j in range(CMS_D):
+            k = (j, _cms_bucket(j, w))
+            grid[k] = grid.get(k, 0) + c
+    twin = {p: min(grid.get((j, _cms_bucket(j, p)), 0)
+                   for j in range(CMS_D)) for p in probes}
+    assert len(got) == len(probes)              # no probe vanishes
+    assert got == twin
+    # with 20 items in a 4x4096 grid, virtually every unseen probe hits
+    # at least one empty cell -> estimates are overwhelmingly exact 0
+    assert sum(1 for v in got.values() if v == 0) >= 190
+
+
 def test_cms_grid_is_bounded(spark):
     df = spark.createDataFrame(
         [(f"t{i}", 1) for i in range(5000)], "w string, cnt long")
