@@ -100,6 +100,7 @@ _R4_PRIORITY = [
     "doc_paragraph_dedup", "vocab_growth", "zipf_band_histogram",
     "word_kcore", "crawl_snapshot_diff", "events_zorder_pruning",
     "events_stream_enriched", "word_ppr_topk",
+    "events_salted_join_rollup", "events_hour_type_pivot",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

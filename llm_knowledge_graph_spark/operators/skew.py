@@ -42,3 +42,31 @@ def salted_sum(df: DataFrame, key_cols: list, sums: dict,
     if count_alias:
         phase2_aggs.append(F.sum(count_alias).alias(count_alias))
     return partial.groupBy(*key_cols).agg(*phase2_aggs)
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, salt_col: str,
+                n_salts: int = 8) -> DataFrame:
+    """Skew-safe equi-join: REPLICATE the (small) ``dim`` side
+    ``n_salts`` times and salt the ``fact`` side deterministically from
+    ``salt_col`` (a per-row id), so a hot join key's fact rows spread
+    across ``n_salts`` shuffle reducers instead of piling onto one — the
+    classic manual salted-join, the same plan AQE's skew-join split
+    produces at runtime, expressed statically so it also covers engines/
+    configs without AQE and sorts-before-joins that AQE can't split.
+
+    Exactness: replication uses explode(sequence(0, n-1)) and the fact
+    salt is pmod(xxhash64(salt_col), n) — pure deterministic columns —
+    so every fact row still meets every matching dim row exactly once
+    and the result multiset is identical to ``fact.join(dim, key)``
+    (which is exactly what the driver oracle verifies). Cost: the dim
+    shuffle grows n_salts-fold — use on genuinely small dims (or
+    broadcast instead when the dim fits; salting targets the case where
+    the dim is too big to broadcast but far smaller than the fact).
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
+    f = fact.withColumn("_salt", salt.cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    cond = (f[fact_key] == d[dim_key]) & (f["_salt"] == d["_salt"])
+    return f.join(d, cond).drop("_salt", dim_key)

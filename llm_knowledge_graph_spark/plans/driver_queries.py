@@ -3381,3 +3381,66 @@ def _ppr_oracle_sql(edge_cte: str, n_iter: int = 8, damping_pct: int = 85,
 
 ORACLE_SQL["word_ppr_topk"] = _ppr_oracle_sql(_WORD_EDGES_CTE)
 SQL_QUERIES["word_ppr_topk"] = q_word_ppr_topk
+
+
+def q_events_salted_join_rollup(spark, sf_dir):
+    """Skew-safe fact⋈dim join (operators/skew.salted_join): events
+    joined to customer on user_id with an 8-way deterministic salt —
+    the dim side replicated, the fact side salted from event_id — then
+    a per-market-segment rollup. The oracle runs the PLAIN join + group
+    by: salting must be invisible in the result (bit-identical counts
+    and integer cents), visible only in the shuffle layout, where a hot
+    user fans across 8 reducers instead of one."""
+    from ..operators.skew import salted_join
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(ev, cust, "user_id", "c_custkey",
+                    salt_col="event_id", n_salts=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(_cents(F.col("value"))).alias("value_cents"))
+            .orderBy("c_mktsegment"))
+
+
+ORACLE_SQL["events_salted_join_rollup"] = """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+SQL_QUERIES["events_salted_join_rollup"] = q_events_salted_join_rollup
+
+
+def q_events_hour_type_pivot(spark, sf_dir):
+    """Pivoted per-hour-of-day × event-type count matrix (the wide
+    activity heatmap): Spark-native ``.pivot()`` with the type list
+    PINNED (no extra distinct pass to discover values — at scale the
+    value-discovery scan is the hidden cost of open pivots, so the
+    contract is an explicit vocabulary; unseen types would be dropped,
+    absent (hour, type) cells are 0). The oracle is the portable
+    conditional-aggregation spelling of the same matrix."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (ev.groupBy(F.hour("ts").cast("long").alias("hour"))
+           .pivot("event_type", types).count())
+    # a type absent in an hour yields null from pivot-count -> 0
+    return (out.select("hour", *[F.coalesce(F.col(t), F.lit(0))
+                                 .cast("long").alias(t) for t in types])
+            .orderBy("hour"))
+
+
+ORACLE_SQL["events_hour_type_pivot"] = """
+    SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY hour
+"""
+SQL_QUERIES["events_hour_type_pivot"] = q_events_hour_type_pivot
