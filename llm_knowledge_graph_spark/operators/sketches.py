@@ -39,7 +39,7 @@ needs (SURVEY.md §2.8 "Aggregations" → sketched variants).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^60 — the fixed-point unit for HLL register terms: term(rho) =
@@ -299,3 +299,54 @@ def bloom_membership_col(key: Column, words: list) -> Column:
             b.bitwiseAND(F.lit(63)).cast("int")).bitwiseAND(F.lit(1))
         cond = cond & (bit == 1)
     return cond
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles (the mergeable-quantile sketch)
+# ---------------------------------------------------------------------------
+# The fourth classic sketch family (with HLL / CMS / Bloom above): a
+# bounded-error quantile structure whose shards merge by plain addition.
+# A fixed bin width w buckets an integer value column into value div w;
+# the per-(key, bin) counts are the ENTIRE sketch state — mergeable by
+# SUM across shards/days/partitions (the same algebraic-merge law as the
+# CMS grid), and any permille q is answered from the cumulative counts
+# with a guaranteed bracket: the true q-quantile lies in
+# [lo, lo + w) for the reported bin floor lo. Everything is integer
+# arithmetic (div / ceil-free cross-multiplication), so Spark, DuckDB,
+# and a plain-Python twin agree bit-for-bit — unlike t-digest/KLL, whose
+# float centroids are engine-specific. At 100 TB: the map side combines
+# to ≤ n_keys · n_bins rows regardless of input size, one narrow shuffle.
+
+
+def hist_bins(df: DataFrame, key_col: str, value_col: str,
+              bin_width: int) -> DataFrame:
+    """Sketch phase: per-(key, bin) counts with bin = value div width.
+    Returns ``(key_col, bin:long, c:bigint)`` — shards merge by summing
+    ``c`` on (key, bin)."""
+    return (df.filter(F.col(value_col).isNotNull())
+            .groupBy(key_col,
+                     F.expr(f"{value_col} div {bin_width}").alias("bin"))
+            .agg(F.count("*").alias("c")))
+
+
+def hist_quantiles(bins: DataFrame, key_col: str, permilles: list,
+                   bin_width: int) -> DataFrame:
+    """Answer phase: for each key and permille p, the SMALLEST bin whose
+    cumulative count reaches p/1000 of the key's total (computed as
+    1000·cum ≥ p·total — pure integer, no rounding mode to pin).
+    Returns ``(key_col, permille:int, lo:long)`` with the guarantee
+    true_quantile ∈ [lo, lo + bin_width)."""
+    w = Window.partitionBy(key_col).orderBy("bin")
+    cum = bins.select(
+        key_col, "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(key_col)).alias("total"))
+    p = F.explode(F.array(*[F.lit(int(x)) for x in permilles]))
+    return (cum.select(key_col, "bin", "cum", "total",
+                       p.alias("permille"))
+            .filter(F.col("cum") * 1000 >= F.col("permille")
+                    * F.col("total"))
+            .groupBy(key_col, "permille")
+            .agg(F.min("bin").alias("bin"))
+            .select(key_col, F.col("permille").cast("int").alias("permille"),
+                    (F.col("bin") * bin_width).cast("long").alias("lo")))

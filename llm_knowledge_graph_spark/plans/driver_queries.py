@@ -3444,3 +3444,41 @@ ORACLE_SQL["events_hour_type_pivot"] = """
     ORDER BY hour
 """
 SQL_QUERIES["events_hour_type_pivot"] = q_events_hour_type_pivot
+
+
+def q_doc_length_hist_quantiles(spark, sf_dir):
+    """Mergeable-quantile sketch (sketches.hist_bins/hist_quantiles):
+    per-lang p50/p90/p99 of n_chars from a fixed-bin histogram
+    (width 100). The sketch state is the (lang, bin) count table —
+    bounded, shard-mergeable by SUM (the same algebraic merge law as
+    the CMS grid; asserted in tests/test_sketches.py) — and the answer
+    is the smallest bin whose cumulative count reaches p/1000 of the
+    total via pure integer cross-multiplication, so the bracket
+    [lo, lo+100) is bit-identical on both engines. The exact twin is
+    doc_length_quantiles; this is the variant that still works when the
+    values arrive in shards/micro-batches you can only merge."""
+    from ..operators.sketches import hist_bins, hist_quantiles
+    docs = _t(spark, sf_dir, "documents")
+    bins = hist_bins(docs, "lang", "n_chars", bin_width=100)
+    return (hist_quantiles(bins, "lang", [500, 900, 990], bin_width=100)
+            .orderBy("lang", "permille"))
+
+
+ORACLE_SQL["doc_length_hist_quantiles"] = """
+    WITH b AS (SELECT lang, n_chars // 100 AS bin, COUNT(*) AS c
+               FROM documents WHERE n_chars IS NOT NULL
+               GROUP BY 1, 2),
+    cum AS (SELECT lang, bin,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                   SUM(c) OVER (PARTITION BY lang) AS total
+            FROM b),
+    p AS (SELECT UNNEST([500, 900, 990]) AS permille)
+    SELECT cum.lang,
+           CAST(p.permille AS INTEGER) AS permille,
+           CAST(MIN(cum.bin) * 100 AS BIGINT) AS lo
+    FROM cum CROSS JOIN p
+    WHERE 1000 * cum.cum >= p.permille * cum.total
+    GROUP BY cum.lang, p.permille
+    ORDER BY lang, permille
+"""
+SQL_QUERIES["doc_length_hist_quantiles"] = q_doc_length_hist_quantiles

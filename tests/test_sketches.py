@@ -237,3 +237,62 @@ def test_bloom_bitmaps_merge_by_or(spark):
 
     merged = [_i64(_u64(x) | _u64(y)) for x, y in zip(wa, wb)]
     assert merged == bloom_bitmap(both, "dg")
+
+
+# ---------------------------------------------------------------------------
+# histogram quantiles
+# ---------------------------------------------------------------------------
+
+def _py_hist_quantiles(vals, permilles, w):
+    from collections import Counter
+    bins = Counter(v // w for v in vals)
+    total = sum(bins.values())
+    out = {}
+    for p in permilles:
+        cum = 0
+        for b in sorted(bins):
+            cum += bins[b]
+            if 1000 * cum >= p * total:
+                out[p] = b * w
+                break
+    return out
+
+
+def test_hist_quantiles_match_twin_and_bracket_truth(spark):
+    import random
+    from llm_knowledge_graph_spark.operators.sketches import (
+        hist_bins, hist_quantiles)
+    rng = random.Random(11)
+    vals = [rng.randint(0, 5000) for _ in range(4000)]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v long")
+    W = 100
+    got = {(r.permille): r.lo for r in
+           hist_quantiles(hist_bins(df, "k", "v", W), "k",
+                          [500, 900, 990], W).collect()}
+    twin = _py_hist_quantiles(vals, [500, 900, 990], W)
+    assert got == twin
+    # bracket guarantee: the true (ceil-rank) quantile lies in [lo, lo+W)
+    sv = sorted(vals)
+    for p in (500, 900, 990):
+        rank = -(-p * len(sv) // 1000)            # ceil(p*n/1000)
+        truth = sv[rank - 1]
+        assert got[p] <= truth < got[p] + W
+
+
+def test_hist_bins_merge_by_sum(spark):
+    from pyspark.sql import functions as F2
+    from llm_knowledge_graph_spark.operators.sketches import (
+        hist_bins, hist_quantiles)
+    a = spark.createDataFrame([("k", i % 700) for i in range(900)],
+                              "k string, v long")
+    b = spark.createDataFrame([("k", (i * 13) % 1900) for i in range(700)],
+                              "k string, v long")
+    W = 50
+    merged = (hist_bins(a, "k", "v", W).union(hist_bins(b, "k", "v", W))
+              .groupBy("k", "bin").agg(F2.sum("c").alias("c")))
+    whole = hist_bins(a.union(b), "k", "v", W)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, whole.collect()))
+    qa = hist_quantiles(merged, "k", [500, 990], W).collect()
+    qb = hist_quantiles(whole, "k", [500, 990], W).collect()
+    assert sorted(map(tuple, qa)) == sorted(map(tuple, qb))
