@@ -101,7 +101,7 @@ _R4_PRIORITY = [
     "word_kcore", "crawl_snapshot_diff", "events_zorder_pruning",
     "events_stream_enriched", "word_ppr_topk",
     "events_salted_join_rollup", "events_hour_type_pivot",
-    "doc_length_hist_quantiles",
+    "doc_length_hist_quantiles", "kg_edge_fusion",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

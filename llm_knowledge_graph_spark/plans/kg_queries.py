@@ -391,7 +391,43 @@ def kg_incremental_merge(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def kg_edge_fusion(spark, sf_dir):
+    """Fact fusion over the occurrence-level edge stream
+    (operators/fusion.fuse_edges): per canonical-keyed triple, support
+    counts (mentions, distinct urls), the majority-elected property map,
+    and the number of conflicted property keys — the Knowledge-Vault
+    'score a triple by witness agreement' signal the reference's
+    last-writer MERGE discards. Self-verifying: the per-triple mention
+    counts must sum to the occurrence-row total, and n_urls can never
+    exceed n_mentions (both asserted before returning). Returns the
+    top 25 triples by support."""
+    from ..operators import extract
+    from ..operators.fusion import fuse_edges
+    from ..sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _CORPUS_PAGES, seed=42)
+    flat = extract.extract_pages_flat(pages).localCheckpoint()
+    edges_raw = extract.edges_from_flat(flat)
+    fused = fuse_edges(edges_raw).localCheckpoint()
+
+    n_occ = edges_raw.count()
+    sums = fused.agg(F.sum("n_mentions").alias("m"),
+                     F.max(F.col("n_urls") > F.col("n_mentions"))
+                     .alias("bad")).collect()[0]
+    if sums.m != n_occ or sums.bad:
+        raise AssertionError(
+            f"fusion support breach: sum(n_mentions)={sums.m} vs "
+            f"occurrences={n_occ}, n_urls>n_mentions={sums.bad}")
+
+    return (fused.select(
+                "subj", "pred", "obj", "n_mentions", "n_urls",
+                "n_conflicts", F.to_json("properties").alias("props_json"))
+            .orderBy(F.desc("n_mentions"), "subj", "pred", "obj")
+            .limit(25))
+
+
 KG_QUERIES = {
+    "kg_edge_fusion": kg_edge_fusion,
     "kg_incremental_merge": kg_incremental_merge,
     "kg_schema_samples": kg_schema_samples,
     "kg_schema_labels": kg_schema_labels,
