@@ -43,3 +43,25 @@ def test_salted_join_spreads_hot_key(spark):
     n = salted_join(fact, dim, "user_id", "c_custkey",
                     salt_col="event_id", n_salts=8).count()
     assert n == 5050
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """Plan evidence for the skew claim: with broadcast off (the 'dim too
+    big to broadcast' regime salting exists for), BOTH exchanges must
+    hash-partition on (join_key, _salt) — the hot key's rows land on
+    n_salts reducers, not one."""
+    from llm_knowledge_graph_spark.operators.skew import salted_join
+    fact, dim = _fixture(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = salted_join(fact, dim, "user_id", "c_custkey",
+                        salt_col="event_id", n_salts=8)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    salted = [e for e in exchanges if "_salt" in e
+              and ("user_id" in e or "c_custkey" in e)]
+    assert len(salted) >= 2, plan
