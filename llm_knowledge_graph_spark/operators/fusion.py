@@ -84,3 +84,68 @@ def fuse_edges(edges_raw: DataFrame,
                                        "array<struct<k:string,v:string>>"))))
             .withColumn("n_conflicts",
                         F.coalesce("n_conflicts", F.lit(0).cast("long"))))
+
+
+def fusion_state(edges_raw: DataFrame,
+                 keys: List[str] = EDGE_KEYS) -> DataFrame:
+    """Mergeable fusion accumulator — the incremental/streaming form of
+    :func:`fuse_edges` (same discipline as merge.kv_level1 and the
+    sketch register tables): one row per (keys..., url, k, v) carrying
+    the witness count ``n``. EVERY occurrence additionally contributes
+    one (k=null, v=null) MARKER row, so the exact mention count
+    survives folding even when occurrences of the same (key, url) carry
+    different property-key sets (deriving mentions from property rows
+    alone is lossy in that case). States from disjoint batches/shards
+    fold by summing ``n`` on the full grain (:func:`fusion_fold`), and
+    :func:`fusion_answer` finishes a state into exactly
+    ``fuse_edges``'s output — equality is test-asserted."""
+    markers = edges_raw.select(
+        *keys, "url",
+        F.lit(None).cast("string").alias("k"),
+        F.lit(None).cast("string").alias("v"))
+    prop_rows = edges_raw.select(
+        *keys, "url", F.explode("properties").alias("k", "v"))
+    return (markers.unionByName(prop_rows)
+            .groupBy(*keys, "url", "k", "v")
+            .agg(F.count("*").alias("n")))
+
+
+def fusion_fold(states: DataFrame,
+                keys: List[str] = EDGE_KEYS) -> DataFrame:
+    """Fold a union of fusion states into one (exact: counts add)."""
+    return states.groupBy(*keys, "url", "k", "v").agg(
+        F.sum("n").alias("n"))
+
+
+def fusion_answer(state: DataFrame,
+                  keys: List[str] = EDGE_KEYS) -> DataFrame:
+    """Finish a fusion state into fuse_edges' output contract: mention
+    count = the null-k marker mass (exact — one marker per occurrence),
+    n_urls = distinct urls over the marker rows."""
+    markers = state.filter(F.col("k").isNull())
+    support = markers.groupBy(*keys).agg(
+        F.sum("n").alias("n_mentions"),
+        F.countDistinct("url").alias("n_urls"))
+
+    kv_counts = (state.filter(F.col("k").isNotNull())
+                 .groupBy(*keys, "k", "v").agg(F.sum("n").alias("n")))
+    top_n = kv_counts.groupBy(*keys, "k").agg(F.max("n").alias("top"))
+    elected = (kv_counts.join(top_n, [*keys, "k"])
+               .filter(F.col("n") == F.col("top"))
+               .groupBy(*keys, "k").agg(F.min("v").alias("v")))
+    n_vals = kv_counts.groupBy(*keys, "k").agg(
+        F.countDistinct("v").alias("n_vals"))
+    props = (elected.join(n_vals, [*keys, "k"])
+             .groupBy(*keys)
+             .agg(F.map_from_entries(
+                      F.sort_array(F.collect_list(F.struct("k", "v"))))
+                  .alias("properties"),
+                  F.sum(F.when(F.col("n_vals") > 1, 1).otherwise(0))
+                  .cast("long").alias("n_conflicts")))
+    return (support.join(props, keys, "left")
+            .withColumn("properties",
+                        F.coalesce("properties",
+                                   F.map_from_entries(F.array().cast(
+                                       "array<struct<k:string,v:string>>"))))
+            .withColumn("n_conflicts",
+                        F.coalesce("n_conflicts", F.lit(0).cast("long"))))

@@ -95,3 +95,28 @@ def test_fusion_on_pipeline_corpus(spark):
     # fused keys are unique
     assert fused.count() == fused.select(
         "subj", "subj_type", "pred", "obj", "obj_type").distinct().count()
+
+
+def test_fusion_state_folds_exactly(spark):
+    """Incremental form: fusion_answer(fusion_fold(state(A) ∪ state(B)))
+    must equal fuse_edges(A ∪ B) — including the lossy case where the
+    same (key, url) carries DIFFERENT property sets across batches."""
+    from llm_knowledge_graph_spark.operators.fusion import (
+        fuse_edges, fusion_answer, fusion_fold, fusion_state)
+    schema = ("subj string, subj_type string, pred string, obj string, "
+              "obj_type string, properties map<string,string>, url string")
+    batch_a = spark.createDataFrame(ROWS[:3], schema)
+    batch_b = spark.createDataFrame(ROWS[3:], schema)
+    folded = fusion_fold(
+        fusion_state(batch_a).unionByName(fusion_state(batch_b)))
+    got = {(r.subj, r.subj_type, r.pred, r.obj, r.obj_type):
+           (r.n_mentions, r.n_urls, dict(r.properties), r.n_conflicts)
+           for r in fusion_answer(folded).collect()}
+    want = {(r.subj, r.subj_type, r.pred, r.obj, r.obj_type):
+            (r.n_mentions, r.n_urls, dict(r.properties), r.n_conflicts)
+            for r in fuse_edges(_df(spark)).collect()}
+    assert got == want
+    # the John/u3 url carries one {since} occurrence AND one bare
+    # occurrence split across batches — the marker rows keep the
+    # mention count exact (4), where property-row-derived counts lose it
+    assert got[("John", "Person", "WORKS_FOR", "Acme", "Org")][0] == 4
