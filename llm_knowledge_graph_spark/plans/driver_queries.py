@@ -3482,3 +3482,71 @@ ORACLE_SQL["doc_length_hist_quantiles"] = """
     ORDER BY lang, permille
 """
 SQL_QUERIES["doc_length_hist_quantiles"] = q_doc_length_hist_quantiles
+
+
+def q_word_negative_samples(spark, sf_dir):
+    """KG-embedding training negatives by deterministic corrupt-tail
+    sampling over the word digraph: each positive edge (src, dst) draws
+    FOUR candidate negative tails — the vocabulary nodes at ranks
+    md5(src:dst:i)[1:7] mod V, i in 0..3 — keeping each iff it is a CLEAN negative
+    (not src, not dst, and (src, neg) is not a true edge; rejected
+    candidates are dropped — acceptance sampling, rejection rate ≈
+    graph density). Everything is one broadcast join of edges→ranked
+    vocab plus one anti-join against the true edge set — no cross
+    product, no RNG (the hash IS the sampler, so Spark and DuckDB draw
+    identical negatives). The vocab ranking is a single global sort of
+    the DISTINCT word set (≪ corpus; at web scale the entity vocabulary
+    is the small table by construction)."""
+    from ..operators.sketches import hex_int_col
+    e = _word_edges(_t(spark, sf_dir, "documents"))
+    nodes = (e.select(F.col("src").alias("w"))
+             .union(e.select("dst")).distinct())
+    w_all = Window.orderBy("w")
+    ranked = nodes.select(
+        "w", F.row_number().over(w_all).alias("rk"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1))).alias("v"))
+    # 4 probes per positive (md5(src:dst:i), i in 0..3): the fixture
+    # graph is dense, so single-probe acceptance is low; multi-probe is
+    # also the scale contract (k negatives per positive for training)
+    probes = e.select(
+        "src", "dst",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"))
+    slot = (hex_int_col(
+        F.md5(F.concat_ws(":", "src", "dst", "i")), 1, 7)
+            % F.col("v") + 1)
+    cand = (probes.join(F.broadcast(ranked), ranked["rk"] == slot)
+            .select("src", "dst", F.col("w").alias("neg")).distinct())
+    clean = (cand.filter((F.col("neg") != F.col("src"))
+                         & (F.col("neg") != F.col("dst")))
+             .join(e.select(F.col("src").alias("s2"),
+                            F.col("dst").alias("neg2")),
+                   (F.col("src") == F.col("s2"))
+                   & (F.col("neg") == F.col("neg2")), "left_anti"))
+    return clean.orderBy("src", "dst", "neg")
+
+
+from ..operators.sketches import hex_int_sql as _hex_int_sql  # noqa: E402
+
+_NEG_SLOT = _hex_int_sql(
+    "md5(e.src || ':' || e.dst || ':' || CAST(e.i AS VARCHAR))", 1, 7)
+ORACLE_SQL["word_negative_samples"] = f"""
+    WITH e AS ({_WORD_EDGES_CTE}),
+    nodes AS (SELECT DISTINCT src AS w FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    ranked AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS rk,
+                      COUNT(*) OVER () AS v
+               FROM nodes),
+    probes AS (SELECT src, dst, i
+               FROM e, unnest([0, 1, 2, 3]) p(i)),
+    cand AS (SELECT DISTINCT e.src, e.dst, r.w AS neg
+             FROM probes e JOIN ranked r
+             ON r.rk = (({_NEG_SLOT}) % r.v) + 1)
+    SELECT c.src, c.dst, c.neg
+    FROM cand c
+    WHERE c.neg <> c.src AND c.neg <> c.dst
+      AND NOT EXISTS (SELECT 1 FROM e t
+                      WHERE t.src = c.src AND t.dst = c.neg)
+    ORDER BY src, dst, neg
+"""
+SQL_QUERIES["word_negative_samples"] = q_word_negative_samples
