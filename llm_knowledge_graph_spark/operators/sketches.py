@@ -322,7 +322,13 @@ def hist_bins(df: DataFrame, key_col: str, value_col: str,
               bin_width: int) -> DataFrame:
     """Sketch phase: per-(key, bin) counts with bin = value div width.
     Returns ``(key_col, bin:long, c:bigint)`` — shards merge by summing
-    ``c`` on (key, bin)."""
+    ``c`` on (key, bin).
+
+    Values must be NON-NEGATIVE integers: ``div`` truncates toward zero
+    (Spark and DuckDB alike), so a negative value would share bin 0 with
+    [0, w) and break the bracket guarantee. Callers sketch counts/
+    lengths/sizes, all >= 0 by construction; shift-then-sketch if a
+    signed domain ever needs this."""
     return (df.filter(F.col(value_col).isNotNull())
             .groupBy(key_col,
                      F.expr(f"{value_col} div {bin_width}").alias("bin"))
