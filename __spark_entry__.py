@@ -102,7 +102,7 @@ _R4_PRIORITY = [
     "events_stream_enriched", "word_ppr_topk",
     "events_salted_join_rollup", "events_hour_type_pivot",
     "doc_length_hist_quantiles", "kg_edge_fusion",
-    "word_negative_samples",
+    "word_negative_samples", "doc_containment_pairs",
 ]
 _TAIL = [
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",

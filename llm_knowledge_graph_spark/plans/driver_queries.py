@@ -3550,3 +3550,68 @@ ORACLE_SQL["word_negative_samples"] = f"""
     ORDER BY src, dst, neg
 """
 SQL_QUERIES["word_negative_samples"] = q_word_negative_samples
+
+
+def q_doc_containment_pairs(spark, sf_dir):
+    """Asymmetric CONTAINMENT detection (doc_b ⊆ doc_a) via stride-
+    sampled k-gram fingerprint sets — the near-dup signal MinHash can't
+    give (resemblance ≈ 0 when a small doc is embedded in a big one, yet
+    containment = 1). Per doc: the DISTINCT md5 of every 16-char gram at
+    stride 4 of lower(text); containment(b in a) = |FP(b) ∩ FP(a)| /
+    |FP(b)|, reported as an exact integer permille. Candidate pairs come
+    from a JOIN ON SHARED GRAM (LSH-style blocking, no cross product);
+    grams appearing in > 50 documents are dropped from BOTH the
+    intersection and the denominator (declared definition) — at web
+    scale boilerplate grams are exactly the D² hot buckets, and they
+    carry no containment signal. All integer arithmetic; both sides
+    bounded to doc_id < 300 like the other brute-verified dup queries."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter((F.col("doc_id") < 300) & F.col("text").isNotNull()))
+    t = F.lower(F.col("text"))
+    k = F.greatest((F.length(t) - 15), F.lit(1))
+    grams = (d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), k, F.lit(4)),
+            lambda i: F.md5(t.substr(i, F.lit(16)))))).alias("g")))
+    kept = (grams.join(
+        grams.groupBy("g").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 50).select("g"), "g"))
+    nb = kept.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "g")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "g")
+    shared = (a.join(b, "g")
+              .filter(F.col("doc_a") != F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("n_shared")))
+    return (shared.join(nb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .filter(F.col("n_shared") * 1000 >= F.col("n_fp") * 500)
+            .select("doc_a", "doc_b", "n_shared",
+                    F.col("n_fp").alias("n_b"),
+                    F.expr("(1000 * n_shared) div n_fp")
+                    .alias("containment_permille"))
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_SQL["doc_containment_pairs"] = """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE doc_id < 300 AND text IS NOT NULL),
+    grams AS (SELECT DISTINCT doc_id, md5(substring(t, i.i, 16)) AS g
+              FROM d, LATERAL unnest(generate_series(
+                  1, greatest(length(t) - 15, 1), 4)) AS i(i)),
+    kept AS (SELECT doc_id, g FROM grams
+             WHERE g IN (SELECT g FROM grams
+                         GROUP BY g HAVING COUNT(*) <= 50)),
+    nb AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      COUNT(*) AS n_shared
+               FROM kept a JOIN kept b
+                 ON a.g = b.g AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b, s.n_shared, nb.n_fp AS n_b,
+           (1000 * s.n_shared) // nb.n_fp AS containment_permille
+    FROM shared s JOIN nb ON nb.doc_id = s.doc_b
+    WHERE s.n_shared * 1000 >= nb.n_fp * 500
+    ORDER BY doc_a, doc_b
+"""
+SQL_QUERIES["doc_containment_pairs"] = q_doc_containment_pairs

@@ -397,3 +397,26 @@ def test_snapshot_diff_statuses(spark):
            for r in snapshot_diff(old, new, "url").collect()}
     assert got == {"a": "same", "b": "changed", "c": "gone",
                    "d": "new", "n": "same"}
+
+
+def test_containment_pairs_finds_embedded_doc(spark, tmp_path):
+    """doc_containment_pairs: a small doc verbatim-embedded (as a prefix,
+    so gram strides align) in a big doc yields a high-permille
+    (doc_a=big, doc_b=small) row; the reverse direction and unrelated
+    docs stay below the 500-permille floor. MinHash resemblance for this
+    planted pair is ~0.3 — exactly the case containment exists for."""
+    from llm_knowledge_graph_spark.plans.driver_queries import (
+        q_doc_containment_pairs)
+    base = " ".join(f"token{i:03d} alpha beta" for i in range(24))  # ~430ch
+    rows = [
+        (0, base),
+        (1, base[:120]),                                   # prefix ⊂ doc 0
+        (2, " ".join(f"other{i:03d} gamma" for i in range(24))),
+    ]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet")))
+    out = {(r.doc_a, r.doc_b): r.containment_permille
+           for r in q_doc_containment_pairs(spark, str(tmp_path)).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 900
+    assert (1, 0) not in out                    # big ⊄ small
+    assert not any(2 in p for p in out)         # unrelated never paired
