@@ -405,7 +405,14 @@ def k_core(edges: DataFrame, k: int, rounds: int,
     each peel is one shuffle of the surviving edge set — and the edge
     set only shrinks.
 
-    Returns (id, deg) over the surviving nodes, deg ≥ k at fixpoint.
+    Returns (id, deg) over the surviving nodes. deg ≥ k is guaranteed
+    ONLY when ``rounds`` ≥ the graph's convergence depth (the fixpoint);
+    with a smaller bound the result is the partial peel after exactly
+    ``rounds`` iterations and may still contain deg < k nodes. Callers
+    that assert the true k-core (e.g. word_kcore) must pick ``rounds``
+    at or past convergence — a converged run is detectable because one
+    more round is a no-op (``min(deg) >= k`` on the returned frame is
+    the cheap check).
     """
     cur = (edges.filter(F.col(src) != F.col(dst))
            .select(F.least(src, dst).alias("x"),

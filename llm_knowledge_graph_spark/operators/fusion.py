@@ -64,8 +64,7 @@ def fuse_edges(edges_raw: DataFrame,
     elected = (kv_counts.join(top_n, [*keys, "k"])
                .filter(F.col("n") == F.col("top"))
                .groupBy(*keys, "k")
-               .agg(F.min("v").alias("v"),
-                    F.count("*").alias("n_tied")))
+               .agg(F.min("v").alias("v")))
     n_vals = kv_counts.groupBy(*keys, "k").agg(
         F.countDistinct("v").alias("n_vals"))
     per_key = elected.join(n_vals, [*keys, "k"])

@@ -25,7 +25,7 @@ final normalization touches floats.
 
 from __future__ import annotations
 
-import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -71,9 +71,12 @@ def quantized_cosine_topk(quantized: DataFrame, query_vec,
     """
     mx = max(abs(x) for x in query_vec) or 1.0
     # HALF_UP (away from zero), matching F.round / DuckDB round — NOT
-    # Python's banker's round(), which maps e.g. 62.5 -> 62.
-    qq = [int(math.floor(x * 127.0 / mx + 0.5)) if x >= 0
-          else -int(math.floor(-x * 127.0 / mx + 0.5)) for x in query_vec]
+    # Python's banker's round() (62.5 -> 62), and NOT floor(x+0.5):
+    # for x just below a .5 boundary (0.49999999999999994) the IEEE sum
+    # x+0.5 evaluates to exactly 1.0 and floor(x+0.5) rounds up where
+    # F.round/DuckDB return 0. Decimal on repr(x) is boundary-exact.
+    qq = [int(Decimal(repr(x * 127.0 / mx)).quantize(
+              Decimal("1"), rounding=ROUND_HALF_UP)) for x in query_vec]
     qcol = F.array(*[F.lit(x).cast("tinyint") for x in qq])
     dot = _int_dot(F.col("q"), qcol)
     row_norm = F.sqrt(_int_dot(F.col("q"), F.col("q")).cast("double"))

@@ -66,7 +66,12 @@ def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     """
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
     f = fact.withColumn("_salt", salt.cast("int"))
-    d = dim.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
-    cond = (f[fact_key] == d[dim_key]) & (f["_salt"] == d["_salt"])
-    return f.join(d, cond).drop("_salt", dim_key)
+    # The dim key + salt get UNIQUE temp names before the join so the
+    # post-join drop is side-unambiguous: a plain .drop("_salt", dim_key)
+    # would drop BY NAME across both sides — with fact_key == dim_key the
+    # join key itself would vanish from the result.
+    d = (dim.withColumnRenamed(dim_key, "_dim_key")
+            .withColumn("_dim_salt",
+                        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))))
+    cond = (f[fact_key] == d["_dim_key"]) & (f["_salt"] == d["_dim_salt"])
+    return f.join(d, cond).drop("_salt", "_dim_key", "_dim_salt")

@@ -22,10 +22,30 @@ _CACHE: Dict[Tuple[object, int], object] = {}
 _CORPUS_PAGES = 150
 
 
+def _session_stopped(s: SparkSession) -> bool:
+    """True once ``s.stop()`` ran (its DataFrames are unusable)."""
+    try:
+        jsc = s.sparkContext._jsc
+        return jsc is None or jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
+def clear_cache() -> None:
+    """Drop every cached KGResult (test/maintenance hook)."""
+    _CACHE.clear()
+
+
 def _kg(spark: SparkSession, n_pages: int = _CORPUS_PAGES):
     # key on the session OBJECT (held alive by the cache), not id(spark):
     # a recycled address after a stopped session would alias the cache
-    # and hand out DataFrames bound to a dead SparkContext
+    # and hand out DataFrames bound to a dead SparkContext. The cache is
+    # BOUNDED by eviction (round-4): entries whose session has been
+    # stopped are unusable and are dropped on every access, so a stopped
+    # session's KGResult (and the session object itself) is never pinned
+    # past the next _kg call.
+    for k in [k for k in _CACHE if _session_stopped(k[0])]:
+        del _CACHE[k]
     key = (spark, n_pages)
     if key not in _CACHE:
         from ..plans.pipeline import build_kg
@@ -235,6 +255,42 @@ def kg_multimodal_features(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("n_bytes").alias("total_bytes"))
         .orderBy("kind"))
+
+
+def kg_multimodal_real_decode(spark, sf_dir):
+    """Round-4 fake=False variant of kg_multimodal_features: REAL stdlib
+    PNG/PPM decode (operators/multimodal._decode_image_real) over
+    synthesized VALID payloads, then a real resize whose output is
+    itself decoded and dimension-checked IN-QUERY (self-verifying: a
+    resize that emits a non-decodable or wrong-shaped payload raises).
+    Returns per-mime counts, byte totals, and the 4-decimal sum of all
+    feature mass (deterministic — integer luma histogram under the
+    hood). Rows-only: binary codecs are not ANSI-SQL."""
+    from ..operators.multimodal import (_decode_image_real, extract_features,
+                                        resize_images, synthesize_image_media)
+    media = synthesize_image_media(spark, n=24)
+    feats = extract_features(media, fake=False)
+
+    resized = resize_images(media, width=6, height=4, fake=False).collect()
+    if len(resized) != 24:
+        raise AssertionError(f"resize dropped rows: {len(resized)}/24")
+    for r in resized:
+        shape = _decode_image_real(bytes(r.payload)).shape
+        if shape[:2] != (4, 6):
+            raise AssertionError(
+                f"media {r.media_id}: resized payload decodes to {shape}, "
+                "wanted (4, 6, c)")
+
+    out = (feats.join(media.select("media_id", "mime"), "media_id")
+           .groupBy("mime").agg(
+               F.count("*").alias("n"),
+               F.sum("n_bytes").alias("total_bytes"),
+               F.round(F.sum(F.aggregate(
+                   "feature", F.lit(0.0),
+                   lambda a, x: a + x.cast("double"))), 4)
+               .alias("feature_mass"))
+           .orderBy("mime"))
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 def kg_schema_samples(spark, sf_dir):
@@ -451,4 +507,5 @@ KG_QUERIES = {
     "kg_streaming_lang_counts": kg_streaming_lang_counts,
     "kg_streaming_first_seen": kg_streaming_first_seen,
     "kg_multimodal_features": kg_multimodal_features,
+    "kg_multimodal_real_decode": kg_multimodal_real_decode,
 }

@@ -93,6 +93,83 @@ def read_graph_docs_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(GRAPH_DOC_SCHEMA).json(path)
 
 
+# ---------------------------------------------------------------------
+# Reference-artifact compatibility reader (round 4): the reference's OWN
+# GRAPH_DOCS.json (written by graph_document_to_json, ref
+# code/pdf_graphrag.py:63-97, dumped at :839-841) differs from the
+# engine's golden sink in three ways — it is ONE multiline JSON array
+# (not line-delimited), its relationship fields are named
+# source_id/source_type/relation/target_id/target_type, and node
+# property VALUES are heterogeneous (strings, the int page number, and
+# the 3072-float chunk embedding list). Reading property values as
+# StringType is the lossless trick: Spark's JSON parser re-serializes
+# any non-string value back to its JSON text, so the embedding survives
+# as a parseable "[-0.01, ...]" string (recovered with from_json below).
+_REF_REL = T.StructType([
+    T.StructField("source_id", T.StringType()),
+    T.StructField("source_type", T.StringType()),
+    T.StructField("relation", T.StringType()),
+    T.StructField("target_id", T.StringType()),
+    T.StructField("target_type", T.StringType()),
+    T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+])
+REF_GRAPH_DOC_SCHEMA = T.StructType([
+    T.StructField("nodes", T.ArrayType(_NODE)),
+    T.StructField("relationships", T.ArrayType(_REF_REL)),
+    T.StructField("source", T.StringType()),
+])
+
+
+def read_reference_graph_docs(spark: SparkSession, path: str) -> DataFrame:
+    """S4 against the reference's real artifact: one row per
+    GraphDocument with (doc_id, nodes, relationships, source). doc_id is
+    the array position (the reference writes docs in chunk order — the
+    per-doc Chunk node ids are chunk_0..chunk_14 in GRAPH_DOCS.json),
+    recovered deterministically from each doc's own Chunk node."""
+    gd = (spark.read.schema(REF_GRAPH_DOC_SCHEMA)
+          .option("multiLine", "true").json(path))
+    chunk_id = F.element_at(
+        F.filter("nodes", lambda n: n["type"] == F.lit("Chunk")), 1
+    )["id"]
+    return gd.select(
+        F.coalesce(
+            F.regexp_extract(chunk_id, r"chunk_(\d+)", 1).cast("long"),
+            F.lit(None).cast("long")).alias("doc_id"),
+        "nodes", "relationships", "source")
+
+
+def reference_graph_docs_to_tables(gd: DataFrame):
+    """Project the reference artifact onto the engine's flat nodes/edges
+    contract (url := 'golden://<doc_id>', chunk_id := doc_id; field
+    renames relation→pred etc.). Returns (nodes, edges)."""
+    url = F.concat(F.lit("golden://"), F.col("doc_id")).alias("url")
+    nodes = (gd.select("doc_id", F.explode("nodes").alias("n"))
+             .select(F.col("n.id").alias("id"),
+                     F.col("n.type").alias("type"),
+                     F.col("n.properties").alias("properties"),
+                     url, F.col("doc_id").alias("chunk_id")))
+    edges = (gd.select("doc_id", F.explode("relationships").alias("e"))
+             .select(F.col("e.source_id").alias("subj"),
+                     F.col("e.source_type").alias("subj_type"),
+                     F.col("e.relation").alias("pred"),
+                     F.col("e.target_id").alias("obj"),
+                     F.col("e.target_type").alias("obj_type"),
+                     F.col("e.properties").alias("properties"),
+                     url, F.col("doc_id").alias("chunk_id")))
+    return nodes, edges
+
+
+def reference_chunk_embeddings(nodes: DataFrame) -> DataFrame:
+    """Recover the typed 3072-float chunk embeddings from the stringified
+    property map — the same (url, chunk_id, embedding array<float>) shape
+    as operators/embed.py's chunk-embedding table (C4/K4)."""
+    return (nodes.filter(F.col("type") == "Chunk")
+            .select("url", "chunk_id",
+                    F.from_json(F.col("properties")["embedding"],
+                                T.ArrayType(T.FloatType()))
+                    .alias("embedding")))
+
+
 def nodes_from_graph_docs(gd: DataFrame) -> DataFrame:
     return (gd.select("url", "chunk_id", F.explode("nodes").alias("n"))
             .select(F.col("n.id").alias("id"), F.col("n.type").alias("type"),

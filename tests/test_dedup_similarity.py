@@ -113,11 +113,15 @@ def test_multimodal_feature_plumbing(spark):
         assert again[r.media_id] == r.feature
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+def test_multimodal_real_decode_rejects_opaque_payloads(spark):
+    """fake=False is REAL now (round 4): non-PNG/PPM image payloads must
+    fail loudly inside the UDF, never fabricate features."""
+    from pyspark.errors.exceptions.captured import PythonException
+
     from llm_knowledge_graph_spark.operators.multimodal import (
         extract_features, synthesize_media)
-    with pytest.raises(NotImplementedError):
-        extract_features(synthesize_media(spark, n=2), fake=False)
+    with pytest.raises(PythonException, match="stdlib decode path"):
+        extract_features(synthesize_media(spark, n=3), fake=False).collect()
 
 
 def test_lsh_cosine_near_dup_recall_on_exact_dups(spark):
@@ -284,16 +288,15 @@ def test_multimodal_resize_and_frame_sample(spark):
         assert all(f["ts_ms"] == f["frame_idx"] * 5000 for f in fs)
 
 
-def test_multimodal_real_decoder_stubs_raise(spark):
+def test_multimodal_video_decode_still_stubbed(spark):
+    """sample_frames is the one remaining stub (ffmpeg-only territory) —
+    fake=False must raise eagerly."""
     import pytest as _pytest
 
     from llm_knowledge_graph_spark.operators.multimodal import (
-        extract_features, resize_images, synthesize_media)
-    media = synthesize_media(spark, n=3)
+        sample_frames, synthesize_media)
     with _pytest.raises(NotImplementedError):
-        extract_features(media, fake=False)
-    with _pytest.raises(NotImplementedError):
-        resize_images(media, fake=False)
+        sample_frames(synthesize_media(spark, n=3), fake=False)
 
 
 def test_minhash_collapse_exact_avoids_pair_blowup(spark):

@@ -62,6 +62,24 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     import re
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-    salted = [e for e in exchanges if "_salt" in e
-              and ("user_id" in e or "c_custkey" in e)]
+    salted = [e for e in exchanges if ("_salt" in e or "_dim_salt" in e)
+              and ("user_id" in e or "_dim_key" in e)]
     assert len(salted) >= 2, plan
+
+
+def test_salted_join_same_key_name(spark):
+    """Regression (round-4 ADVICE): with fact_key == dim_key (same column
+    NAME on both sides) the join key must survive in the result — the old
+    .drop(dim_key) removed it from BOTH sides."""
+    from llm_knowledge_graph_spark.operators.skew import salted_join
+    fact, dim = _fixture(spark)
+    dim2 = dim.withColumnRenamed("c_custkey", "user_id")
+    got = salted_join(fact, dim2, "user_id", "user_id",
+                      salt_col="event_id", n_salts=8)
+    assert "user_id" in got.columns
+    rows = sorted(map(tuple, got.select("event_id", "user_id", "seg")
+                      .collect()))
+    want = sorted(map(tuple,
+                      fact.join(dim, fact["user_id"] == dim["c_custkey"])
+                          .select("event_id", "user_id", "seg").collect()))
+    assert rows == want
