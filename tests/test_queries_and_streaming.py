@@ -27,6 +27,27 @@ def test_degree_topk_excludes_has(kg_result):
     assert degs == sorted(degs, reverse=True)
 
 
+def test_degree_topk_salted_equals_plain(kg_result, spark):
+    """The hot-graph salted variant (round 4): bit-identical result to
+    the plain groupBy, with the phase-1 exchange actually partitioned on
+    (id, _salt) so a celebrity node's endpoint rows spread across
+    n_salts reducers."""
+    import re
+
+    from llm_knowledge_graph_spark.plans.queries import (degree_topk,
+                                                         degree_topk_salted)
+    edges = kg_result.canonical_edges
+    plain = [(r.id, r.degree) for r in degree_topk(edges, k=25).collect()]
+    salted_df = degree_topk_salted(edges, k=25)
+    salted = [(r.id, r.degree) for r in salted_df.collect()]
+    assert salted == plain
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    # Catalyst names the aliased groupBy salt `_groupingexpression`
+    assert any("id" in e and ("_salt" in e or "_groupingexpression" in e)
+               for e in exchanges), plan
+
+
 def test_multi_hop_frontier(spark):
     from llm_knowledge_graph_spark.plans.queries import multi_hop
     edges = spark.createDataFrame(
