@@ -52,63 +52,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records at most ~50 queries per round, taken in queries()
 # insertion order (round-2 evidence: CORRECTNESS_r02 held exactly the
-# first 50 entries). Order is therefore budgeted explicitly:
-#   _FRONT — queries with no (or stale) driver evidence: the 10 kg_*
-#     entries recorded only in round 1 (or never, for
-#     kg_streaming_first_seen), the round-3 additions, and the two
-#     queries whose code/oracle changed this round;
-#   middle — the remaining oracled SQL surface (fresh hash evidence each
-#     round);
-#   _TAIL — entries whose round-2 CORRECTNESS rows stand (unchanged code):
-#     the 11 kg_* rows-only queries recorded in r2 plus one twice-green
-#     SQL query, deliberately past the budget line.
+# first 50 entries). Order is therefore budgeted explicitly.
+#
+# ROTATION POLICY (two-round cadence, round 4): each round's _FRONT is
+# (a) queries that have NEVER been driver-recorded, then (b) queries
+# that are NEW or whose code/oracle CHANGED this round, then (c) the
+# queries whose most recent record is two rounds old (evidence goes
+# stale oldest-first). Everything recorded LAST round moves past the
+# budget line; what doesn't fit in the 50 slots goes to _R{N+1}_PRIORITY
+# — the explicit head of the NEXT round's rotation. With a ~115-query
+# surface and 50 slots this keeps every query's driver evidence at most
+# two rounds old while changed code always re-records immediately.
 _FRONT = [
-    "kg_incremental_merge",       # new in round 3 (self-verifying)
-    "kg_streaming_first_seen",    # never recorded by any round's driver
-    "kg_linking_mapping", "kg_canonical_star", "kg_minhash_near_dup_docs",
-    "kg_simhash_pairs", "kg_ann_lsh_topk", "kg_ann_ivf_topk",
-    "kg_cosine_near_dup_lsh", "kg_streaming_lang_counts",
-    "kg_multimodal_features",     # ^ round-1 evidence only
-    "kg_schema_samples", "legal_parties",
-    "doc_taxonomy_classification",
-    "doc_semantic_dedup", "word_pagerank",
-    "doc_repetition_stats", "doc_decontamination",
-    "doc_train_split", "word_graph_stats",
-    "doc_length_quantiles",
-    "word_bfs_distances", "doc_shingle_components",
-    "events_asof_purchase", "events_range_join",     # new in round 3
-    "doc_pii_redaction", "word_link_prediction", "doc_dup_span_mass",
-    "brand_revenue_salted", "events_hopping_counts",
-    "doc_filter_funnel",                             # new in round 3
-    "doc_pack_bins", "lang_temperature_weights",     # new in round 3
-    "events_funnel", "doc_stratified_sample",        # new in round 3
-    "bpe_merges", "bpe_compression",                 # new in round 3
-    "label_centroid_norms", "user_sessions",     # changed in round 3
-    # round-3 sketch batch (value-verified probabilistic structures)
-    "lang_distinct_hll", "word_cms_topk", "doc_blocklist_bloom",
-    # round-3 retrieval batch (integer BM25 + RRF hybrid fusion)
-    "doc_bm25_topk", "doc_hybrid_rrf",
-    # round-3 exposure batch: library ops promoted to oracled queries
-    "url_dup_stats", "doc_surprisal_topk", "cosine_topk_sq8",
-    # round-3 governance batch: per-host quotas + quality-floor verdicts,
-    # filter-threshold calibration, duplicate-mass histogram
-    "domain_cap_rollup", "quality_threshold_sweep", "dup_cluster_histogram",
-]
-# Oracled queries past the round-3 budget line (the 50 _FRONT slots are
-# full) — ROUND 4: promote these into _FRONT for driver evidence.
-_R4_PRIORITY = [
+    # (a) never driver-recorded: the round-3 additions past the r3
+    # budget line (_R4_PRIORITY then; all 14 verified by the local
+    # DuckDB gate in r3 and re-verified this round)
     "doc_paragraph_dedup", "vocab_growth", "zipf_band_histogram",
     "word_kcore", "crawl_snapshot_diff", "events_zorder_pruning",
     "events_stream_enriched", "word_ppr_topk",
     "events_salted_join_rollup", "events_hour_type_pivot",
     "doc_length_hist_quantiles", "kg_edge_fusion",
     "word_negative_samples", "doc_containment_pairs",
-]
-_TAIL = [
+    # (b) new in round 4 ...
+    "word_degree_salted",          # salted degree, oracled
+    "kg_multimodal_real_decode",   # real PNG/PPM decode, self-verifying
+    # ... and changed in round 4 (now self-verifying in-query)
+    "kg_ann_lsh_topk", "kg_ann_ivf_topk", "kg_minhash_near_dup_docs",
+    # (c) stale: last recorded in round 2 — the 11 kg_* rows-only
+    # queries first (VERDICT r3 item 6), then r2-only SQL queries
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",
     "kg_validation_report", "kg_chunk_cosine_topk", "kg_node_cosine_topk",
     "kg_node_counts", "kg_edge_counts", "kg_degree_top25", "kg_multi_hop",
-    "kg_entity_contains",         # ^ rows-only, recorded in round 2
+    "kg_entity_contains",
+    "cosine_near_dup_pairs", "cosine_topk", "doc_classification",
+    "doc_exact_dedup", "doc_fingerprint", "doc_lang_counts",
+    "doc_lang_id", "doc_quality", "doc_regex_tokens",
+    "doc_stopword_ratio", "doc_token_stats", "doc_winnow_fingerprint",
+    "events_hourly_stream_counts", "events_json_extract",
+    "events_latest_per_user", "events_stream_sessions",
+    "events_type_stats", "knn_join", "legal_citations",
+    "legal_dates_amounts",
+]
+# r2-only queries that did not fit the 50 _FRONT slots — ROUND 5: these
+# head the rotation (promote into _FRONT), followed by the round-3/4
+# recorded queries as their evidence turns two rounds old.
+_R5_PRIORITY = [
+    "legal_definitions", "legal_obligations", "legal_sections",
+    "market_segment_stats", "ngram_jaccard_pairs",
+    "orders_monthly_revenue", "orders_priority_rollup",
+    "part_type_counts", "pricing_summary", "region_revenue",
+    "ship_delay_stats", "top_customers", "urgent_and_high_customers",
+    "user_session_windows", "word_cooccurrence",
+]
+# middle (insertion order of the query dicts): everything recorded in
+# round 3 — fresh evidence, deliberately past the budget line.
+_TAIL = [
     # hash-green in rounds 1 AND 2, untouched since:
     "order_priority_counts", "nations_without_suppliers",
 ]
@@ -126,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _FRONT:
         out[name] = pool.pop(name)
-    for name in _R4_PRIORITY:      # right after the budget line
+    for name in _R5_PRIORITY:      # right after the budget line
         out[name] = pool.pop(name)
     tail = {name: pool.pop(name) for name in _TAIL}
     out.update(pool)

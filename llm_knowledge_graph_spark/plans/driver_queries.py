@@ -3615,3 +3615,28 @@ ORACLE_SQL["doc_containment_pairs"] = """
     ORDER BY doc_a, doc_b
 """
 SQL_QUERIES["doc_containment_pairs"] = q_doc_containment_pairs
+
+
+def q_word_degree_salted(spark, sf_dir):
+    """Hot-key-safe degree top-25 of the word co-occurrence graph via the
+    round-4 salted two-phase variant (plans/queries.degree_topk_salted):
+    celebrity tokens ('the', 'a') are exactly the power-law hubs whose
+    endpoint rows a plain groupBy piles onto one reducer. Value-verified
+    against the plain GROUP-BY oracle — the salt is algebraic, so the
+    result is bit-identical."""
+    from .queries import degree_topk_salted
+    edges = _word_edges(_t(spark, sf_dir, "documents"))
+    e = edges.select(F.col("src").alias("subj"), F.col("dst").alias("obj"),
+                     F.lit("CO").alias("pred"))
+    return degree_topk_salted(e, k=25, exclude_preds=())
+
+
+ORACLE_SQL["word_degree_salted"] = f"""
+    WITH edges AS ({_WORD_EDGES_CTE}),
+    endpoints AS (SELECT src AS id FROM edges
+                  UNION ALL SELECT dst AS id FROM edges)
+    SELECT id, COUNT(*) AS degree
+    FROM endpoints GROUP BY id
+    ORDER BY degree DESC, id LIMIT 25
+"""
+SQL_QUERIES["word_degree_salted"] = q_word_degree_salted
