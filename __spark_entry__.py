@@ -76,6 +76,7 @@ _FRONT = [
     # (b) new in round 4 ...
     "word_degree_salted",          # salted degree, oracled
     "kg_multimodal_real_decode",   # real PNG/PPM decode, self-verifying
+    "golden_artifact_stats",       # hash-oracled vs the REAL reference file
     # ... and changed in round 4 (now self-verifying in-query)
     "kg_ann_lsh_topk", "kg_ann_ivf_topk", "kg_minhash_near_dup_docs",
     # (c) stale: last recorded in round 2 — the 11 kg_* rows-only
@@ -91,13 +92,13 @@ _FRONT = [
     "events_hourly_stream_counts", "events_json_extract",
     "events_latest_per_user", "events_stream_sessions",
     "events_type_stats", "knn_join", "legal_citations",
-    "legal_dates_amounts",
 ]
 # r2-only queries that did not fit the 50 _FRONT slots — ROUND 5: these
 # head the rotation (promote into _FRONT), followed by the round-3/4
 # recorded queries as their evidence turns two rounds old.
 _R5_PRIORITY = [
-    "legal_definitions", "legal_obligations", "legal_sections",
+    "legal_dates_amounts", "legal_definitions", "legal_obligations",
+    "legal_sections",
     "market_segment_stats", "ngram_jaccard_pairs",
     "orders_monthly_revenue", "orders_priority_rollup",
     "part_type_counts", "pricing_summary", "region_revenue",

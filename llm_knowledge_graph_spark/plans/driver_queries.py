@@ -3640,3 +3640,40 @@ ORACLE_SQL["word_degree_salted"] = f"""
     ORDER BY degree DESC, id LIMIT 25
 """
 SQL_QUERIES["word_degree_salted"] = q_word_degree_salted
+
+
+def q_golden_artifact_stats(spark, sf_dir):
+    """Round-4 parity evidence against the reference's REAL output: parse
+    /root/reference/GRAPH_DOCS.json (written by the reference at
+    code/pdf_graphrag.py:839-841) through the engine's S4 compatibility
+    reader and emit per-type node counts + per-relation edge counts —
+    HASH-verified against DuckDB's independent read_json parse of the
+    same file (the one query whose input is the reference's own bytes,
+    not synthesized test data)."""
+    from ..sources.golden_json import (read_reference_graph_docs,
+                                       reference_graph_docs_to_tables)
+    gd = read_reference_graph_docs(spark, "/root/reference/GRAPH_DOCS.json")
+    nodes, edges = reference_graph_docs_to_tables(gd)
+    n = (nodes.groupBy(F.col("type").alias("name"))
+         .agg(F.count("*").alias("n"))
+         .select(F.lit("node").alias("kind"), "name", "n"))
+    e = (edges.groupBy(F.col("pred").alias("name"))
+         .agg(F.count("*").alias("n"))
+         .select(F.lit("edge").alias("kind"), "name", "n"))
+    return n.unionByName(e).orderBy("kind", "name")
+
+
+ORACLE_SQL["golden_artifact_stats"] = """
+    WITH gd AS (SELECT * FROM read_json_auto(
+            '/root/reference/GRAPH_DOCS.json',
+            maximum_object_size=104857600)),
+    n AS (SELECT unnest(nodes) AS node FROM gd),
+    r AS (SELECT unnest(relationships) AS rel FROM gd)
+    SELECT 'node' AS kind, node.type AS name, COUNT(*) AS n
+    FROM n GROUP BY 2
+    UNION ALL
+    SELECT 'edge' AS kind, rel.relation AS name, COUNT(*) AS n
+    FROM r GROUP BY 2
+    ORDER BY kind, name
+"""
+SQL_QUERIES["golden_artifact_stats"] = q_golden_artifact_stats
