@@ -152,9 +152,25 @@ def kg_minhash_near_dup_docs(spark, sf_dir):
 
 
 def kg_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs on documents (rows-only)."""
+    """SimHash near-dup pairs on documents (rows-only). SELF-VERIFYING
+    (round 4): 20 exact copies planted at doc_id+1000000 have Hamming
+    distance 0 by construction — every planted pair must surface through
+    the band-blocking + popcount-verify path or the query raises. The
+    returned rows are the unmodified original-corpus run."""
     from ..operators.dedup import simhash_near_dups
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    base = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    planted = d.select("doc_id", "text").unionByName(
+        base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    got = {(r.a, r.b) for r in simhash_near_dups(
+        planted, "doc_id", "text", max_hamming=10).collect()}
+    missing = [(i, i + 1000000) for i in range(20)
+               if (i, i + 1000000) not in got]
+    if missing:
+        raise AssertionError(
+            f"simhash planted-pair recall breach: missing {missing}")
+
     return (simhash_near_dups(d, "doc_id", "text", max_hamming=10)
             .orderBy("a", "b"))
 
@@ -212,13 +228,22 @@ def kg_cosine_near_dup_lsh(spark, sf_dir):
     Planted exact duplicates (vec_id+100000, same vector) land in the same
     bucket of every table, so LSH recall on them is exactly 1.0 — the
     returned pairs are the planted (i, i+100000) set plus any true
-    >=0.99-cosine pairs in the data."""
+    >=0.99-cosine pairs in the data. SELF-VERIFYING (round 4): every one
+    of the 200 planted pairs is asserted present before returning."""
     from ..operators.similarity import lsh_cosine_near_dup_pairs
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .filter(F.col("vec_id") < 200).select("vec_id", "embedding")
     planted = e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    return (lsh_cosine_near_dup_pairs(e.unionByName(planted), threshold=0.99)
-            .orderBy("a", "b"))
+    out = (lsh_cosine_near_dup_pairs(e.unionByName(planted), threshold=0.99)
+           .orderBy("a", "b").localCheckpoint())
+    got = {(r.a, r.b) for r in out.collect()}
+    missing = [(i, i + 100000) for i in range(200)
+               if (i, i + 100000) not in got]
+    if missing:
+        raise AssertionError(
+            f"cosine-LSH planted-duplicate recall breach: "
+            f"missing {len(missing)} pairs, e.g. {missing[:5]}")
+    return out
 
 
 def kg_ann_ivf_topk(spark, sf_dir):
