@@ -77,6 +77,7 @@ _FRONT = [
     "word_degree_salted",          # salted degree, oracled
     "kg_multimodal_real_decode",   # real PNG/PPM decode, self-verifying
     "golden_artifact_stats",       # hash-oracled vs the REAL reference file
+    "doc_novelty_scores",          # first-witness n-gram novelty, oracled
     # ... and changed in round 4 (now self-verifying in-query)
     "kg_ann_lsh_topk", "kg_ann_ivf_topk", "kg_minhash_near_dup_docs",
     "kg_simhash_pairs", "kg_cosine_near_dup_lsh",
@@ -92,13 +93,12 @@ _FRONT = [
     "doc_stopword_ratio", "doc_token_stats", "doc_winnow_fingerprint",
     "events_hourly_stream_counts", "events_json_extract",
     "events_latest_per_user", "events_stream_sessions",
-    "events_type_stats",
 ]
 # r2-only queries that did not fit the 50 _FRONT slots — ROUND 5: these
 # head the rotation (promote into _FRONT), followed by the round-3/4
 # recorded queries as their evidence turns two rounds old.
 _R5_PRIORITY = [
-    "knn_join", "legal_citations",
+    "events_type_stats", "knn_join", "legal_citations",
     "legal_dates_amounts", "legal_definitions", "legal_obligations",
     "legal_sections",
     "market_segment_stats", "ngram_jaccard_pairs",

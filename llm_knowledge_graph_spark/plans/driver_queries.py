@@ -3097,10 +3097,21 @@ def q_word_kcore(spark, sf_dir):
     algorithm (after the 10-iteration PageRank and the 8-merge BPE):
     the oracle unrolls the identical 6 peel rounds. At sf0.01 the peel
     converges in 3 rounds (16,058 → 15,315 edges), so rounds 4-6 are
-    provably no-ops and the result is the true 26-core."""
+    provably no-ops and the result is the true 26-core. SELF-VERIFYING
+    (round 4): convergence is asserted in-query — min(deg) >= k on the
+    returned frame is exactly the one-more-round-is-a-no-op fixpoint
+    condition (k_core's contract), so a rounds bound that silently
+    stopped short of convergence would raise instead of shipping a
+    partial peel."""
     from ..operators.components import k_core
     edges = _bigram_edges(_t(spark, sf_dir, "documents"))
-    return k_core(edges, k=26, rounds=6).orderBy("id")
+    out = k_core(edges, k=26, rounds=6).localCheckpoint()
+    min_deg = out.agg(F.min("deg")).collect()[0][0]
+    if min_deg is not None and min_deg < 26:
+        raise AssertionError(
+            f"k_core(rounds=6) returned a non-converged peel: "
+            f"min(deg)={min_deg} < 26 — raise the rounds bound")
+    return out.orderBy("id")
 
 
 def _kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
@@ -3677,3 +3688,51 @@ ORACLE_SQL["golden_artifact_stats"] = """
     ORDER BY kind, name
 """
 SQL_QUERIES["golden_artifact_stats"] = q_golden_artifact_stats
+
+
+def q_doc_novelty_scores(spark, sf_dir):
+    """First-witness n-gram novelty (round 4): per doc, the fraction of
+    its DISTINCT word 5-grams whose first witness (min doc_id) is the
+    doc itself — the novelty signal data-curriculum curation orders by
+    (high = fresh content, low = rehash of earlier corpus). Plan shape:
+    one (gram -> min id) vocab-sized aggregate feeds a doc-keyed count
+    of first-witnessed grams, joined to the per-doc shingle totals —
+    both joined frames are DOC-sized; the corpus-sized gram stream is
+    aggregated, never re-joined. All-integer output (permille via div).
+    """
+    from ..operators.dedup import _word_shingles
+    d = _t(spark, sf_dir, "documents")
+    sh = _word_shingles(d, 5, "doc_id", "text", distinct=True)
+    first = sh.groupBy("g").agg(F.min("id").alias("first_doc"))
+    novel = (first.groupBy(F.col("first_doc").alias("doc_id"))
+             .agg(F.count("*").alias("n_novel")))
+    totals = (sh.groupBy(F.col("id").alias("doc_id"))
+              .agg(F.count("*").alias("n_shingles")))
+    return (totals.join(novel, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"))
+            .withColumn("novelty_permille",
+                        F.expr("(1000 * n_novel) div n_shingles"))
+            .orderBy("doc_id"))
+
+
+ORACLE_SQL["doc_novelty_scores"] = """
+    WITH sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[i:i+4], ' ') AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents) t,
+                     unnest(range(1, len(toks) - 3)) r(i)
+                WHERE len(toks) >= 5),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g),
+    novel AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+              FROM first GROUP BY 1),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(n.n_novel, 0) AS n_novel,
+           (1000 * COALESCE(n.n_novel, 0)) // t.n_shingles
+               AS novelty_permille
+    FROM totals t LEFT JOIN novel n USING (doc_id)
+    ORDER BY t.doc_id
+"""
+SQL_QUERIES["doc_novelty_scores"] = q_doc_novelty_scores
