@@ -81,6 +81,7 @@ _FRONT = [
     # ... and changed in round 4 (now self-verifying in-query)
     "kg_ann_lsh_topk", "kg_ann_ivf_topk", "kg_minhash_near_dup_docs",
     "kg_simhash_pairs", "kg_cosine_near_dup_lsh",
+    "kg_streaming_lang_counts", "kg_streaming_first_seen",  # batch twins
     # (c) stale: last recorded in round 2 — the 11 kg_* rows-only
     # queries first (VERDICT r3 item 6), then r2-only SQL queries
     "kg_schema_labels", "kg_schema_detect", "kg_question_svo",
@@ -91,13 +92,13 @@ _FRONT = [
     "doc_exact_dedup", "doc_fingerprint", "doc_lang_counts",
     "doc_lang_id", "doc_quality", "doc_regex_tokens",
     "doc_stopword_ratio", "doc_token_stats", "doc_winnow_fingerprint",
-    "events_hourly_stream_counts", "events_json_extract",
-    "events_latest_per_user", "events_stream_sessions",
+    "events_json_extract", "events_latest_per_user",
 ]
 # r2-only queries that did not fit the 50 _FRONT slots — ROUND 5: these
 # head the rotation (promote into _FRONT), followed by the round-3/4
 # recorded queries as their evidence turns two rounds old.
 _R5_PRIORITY = [
+    "events_hourly_stream_counts", "events_stream_sessions",
     "events_type_stats", "knn_join", "legal_citations",
     "legal_dates_amounts", "legal_definitions", "legal_obligations",
     "legal_sections",

@@ -67,9 +67,20 @@ def kg_edge_counts(spark, sf_dir):
 
 
 def kg_degree_top25(spark, sf_dir):
-    """Flagship: top-25 entities by degree over canonical edges."""
+    """Flagship: top-25 entities by degree over canonical edges.
+    SELF-VERIFYING (round 4): the plain groupBy and the salted two-phase
+    hot-graph variant (queries.degree_topk_salted) must return the
+    identical ranking — two independently-planned computations of the
+    same algebraic aggregate, diffed in-query."""
     res = _kg(spark)
-    return Q.degree_topk(res.canonical_edges, k=25)
+    plain = Q.degree_topk(res.canonical_edges, k=25)
+    salted = [(r.id, r.degree) for r in
+              Q.degree_topk_salted(res.canonical_edges, k=25).collect()]
+    got = [(r.id, r.degree) for r in plain.collect()]
+    if got != salted:
+        raise AssertionError(
+            f"plain/salted degree ranking divergence: {got} != {salted}")
+    return plain
 
 
 def kg_multi_hop(spark, sf_dir):
@@ -287,7 +298,18 @@ def kg_streaming_lang_counts(spark, sf_dir):
         q.stop()
         raise TimeoutError(
             "kg_streaming_lang_counts: stream did not drain within 120s")
-    return spark.table("kg_stream_lang_counts").orderBy("lang")
+    out = spark.table("kg_stream_lang_counts").orderBy("lang")
+    # SELF-VERIFYING (round 4): the drained complete-mode aggregate must
+    # equal the batch groupBy over the same files — streaming-vs-batch
+    # parity enforced in-query, not just in the pytest twins
+    batch = {r.lang: r.n for r in
+             spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    streamed = {r.lang: r.n_docs for r in out.collect()}
+    if streamed != batch:
+        raise AssertionError(
+            f"stream/batch lang-count divergence: {streamed} != {batch}")
+    return out
 
 
 def kg_node_cosine_topk(spark, sf_dir):
@@ -333,6 +355,24 @@ def kg_streaming_first_seen(spark, sf_dir):
                 .orderBy("key").collect())
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)  # no temp-state leak
+    # SELF-VERIFYING (round 4): exact-dedup parity with batch — the
+    # per-shard first-seen counts must equal the batch COUNT(DISTINCT
+    # md5(text)) per digest-prefix shard; any drop or double-emit in the
+    # stateful operator raises instead of shipping a plausible count
+    batch = {r.key: r.n for r in
+             spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select(F.substring(F.md5("text"), 1, 2).alias("key"),
+                     F.md5("text").alias("digest"))
+             .groupBy("key")
+             .agg(F.countDistinct("digest").alias("n")).collect()}
+    streamed = {r.key: r.n_first_seen for r in rows}
+    if streamed != batch:
+        diff = {k: (streamed.get(k), batch.get(k))
+                for k in set(streamed) | set(batch)
+                if streamed.get(k) != batch.get(k)}
+        raise AssertionError(
+            f"stream/batch first-seen divergence on {len(diff)} shards, "
+            f"e.g. {dict(list(diff.items())[:3])}")
     return spark.createDataFrame(rows, "key string, n_first_seen long")
 
 
