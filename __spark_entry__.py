@@ -60,9 +60,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose most recent record is two rounds old (evidence goes
 # stale oldest-first). Everything recorded LAST round moves past the
 # budget line; what doesn't fit in the 50 slots goes to _R{N+1}_PRIORITY
-# — the explicit head of the NEXT round's rotation. With a ~115-query
-# surface and 50 slots this keeps every query's driver evidence at most
-# two rounds old while changed code always re-records immediately.
+# — the explicit head of the NEXT round's rotation. With a ~116-query
+# surface and 50 slots, steady-state evidence age is bounded by
+# ceil(116/50) = 3 rounds (each round re-records the oldest ~50, so a
+# query waits at most two rounds between records once the never-
+# recorded backlog is drained), and changed code always re-records
+# immediately.
 _FRONT = [
     # (a) never driver-recorded: the round-3 additions past the r3
     # budget line (_R4_PRIORITY then; all 14 verified by the local

@@ -298,13 +298,14 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
                     .alias("rep")))
 
 
-def _word_shingles(df: DataFrame, n: int, id_col: str, text_col: str,
-                   distinct: bool = False) -> DataFrame:
-    """(id, g) word ``n``-gram shingles of a text frame — the ONE shared
-    gram builder for ngram_contamination and duplicate_shingle_mass
-    (whose DuckDB oracles share a slice-based twin the same way;
-    previously two divergable copies, review finding round 3).
-    ``distinct=True`` collapses within-doc repeats before the explode."""
+def _word_shingle_arrays(df: DataFrame, n: int, id_col: str,
+                         text_col: str,
+                         distinct: bool = False) -> DataFrame:
+    """(id, gs array<string>) — the UNEXPLODED form of _word_shingles,
+    for consumers that need a doc-local gram property (e.g. the per-doc
+    distinct-gram count) without paying the explode (round-4 review
+    finding: doc_novelty_scores was deriving a doc-local count through
+    a corpus-sized gram-keyed aggregation)."""
     d = df.withColumn("toks", F.split(F.col(text_col), " "))
     toks = F.col("toks")
     grams = F.transform(
@@ -315,7 +316,18 @@ def _word_shingles(df: DataFrame, n: int, id_col: str, text_col: str,
     if distinct:
         grams = F.array_distinct(grams)
     return (d.filter(F.size(toks) >= n)
-            .select(F.col(id_col).alias("id"), F.explode(grams).alias("g")))
+            .select(F.col(id_col).alias("id"), grams.alias("gs")))
+
+
+def _word_shingles(df: DataFrame, n: int, id_col: str, text_col: str,
+                   distinct: bool = False) -> DataFrame:
+    """(id, g) word ``n``-gram shingles of a text frame — the ONE shared
+    gram builder for ngram_contamination and duplicate_shingle_mass
+    (whose DuckDB oracles share a slice-based twin the same way;
+    previously two divergable copies, review finding round 3).
+    ``distinct=True`` collapses within-doc repeats before the explode."""
+    return (_word_shingle_arrays(df, n, id_col, text_col, distinct)
+            .select("id", F.explode("gs").alias("g")))
 
 
 def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 5,

@@ -319,7 +319,10 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                     for p in img["payload"]
                 ]
             else:
-                out = [_resize_real(p, width, height)
+                # null payloads pass through as null rows (same contract
+                # as extract_features' null features — never fabricate,
+                # never fail the stage on a missing payload)
+                out = [None if p is None else _resize_real(p, width, height)
                        for p in img["payload"]]
             yield pd.DataFrame({
                 "media_id": img["media_id"],

@@ -3698,16 +3698,19 @@ def q_doc_novelty_scores(spark, sf_dir):
     one (gram -> min id) vocab-sized aggregate feeds a doc-keyed count
     of first-witnessed grams, joined to the per-doc shingle totals —
     both joined frames are DOC-sized; the corpus-sized gram stream is
-    aggregated, never re-joined. All-integer output (permille via div).
-    """
-    from ..operators.dedup import _word_shingles
+    aggregated once, never re-joined, and the totals come from the
+    UNEXPLODED per-doc gram arrays (size(gs): a projection, zero
+    shuffle — round-4 review fix; the gram explode exists only on the
+    first-witness subtree). All-integer output (permille via div)."""
+    from ..operators.dedup import _word_shingle_arrays
     d = _t(spark, sf_dir, "documents")
-    sh = _word_shingles(d, 5, "doc_id", "text", distinct=True)
+    base = _word_shingle_arrays(d, 5, "doc_id", "text", distinct=True)
+    sh = base.select("id", F.explode("gs").alias("g"))
     first = sh.groupBy("g").agg(F.min("id").alias("first_doc"))
     novel = (first.groupBy(F.col("first_doc").alias("doc_id"))
              .agg(F.count("*").alias("n_novel")))
-    totals = (sh.groupBy(F.col("id").alias("doc_id"))
-              .agg(F.count("*").alias("n_shingles")))
+    totals = base.select(F.col("id").alias("doc_id"),
+                         F.size("gs").cast("long").alias("n_shingles"))
     return (totals.join(novel, "doc_id", "left")
             .select("doc_id", "n_shingles",
                     F.coalesce("n_novel", F.lit(0)).cast("long")

@@ -130,18 +130,45 @@ def kg_canonical_star(spark, sf_dir):
     return m.orderBy("type", "id")
 
 
+def _planted_connected(got_pairs, planted_ids) -> list:
+    """Which (i, j) planted pairs are NOT connected through the emitted
+    pair set? The dedup operators' collapse_exact contract promises
+    CLUSTERING equivalence, not literal pairs — exact duplicates emit
+    (rep, dup) pairs anchored at the group's min key only, so the honest
+    gate is union-find connectivity over the output, never pair-set
+    membership (a corpus with exact dups among docs 0-19 would otherwise
+    fail a healthy operator — round-4 review finding)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got_pairs:
+        parent[find(a)] = find(b)
+    return [(i, j) for i, j in planted_ids if find(i) != find(j)]
+
+
 def kg_minhash_near_dup_docs(spark, sf_dir):
     """MinHash-LSH near-duplicate detection on the documents table
     (driver table; rows-only — MinHash is not ANSI-SQL-expressible).
     SELF-VERIFYING (round 4): a planted-pair recall gate runs first —
     20 exact copies (collapse path) and 20 one-word-appended near-dups
     (the LSH banding path proper) are planted at doc_id+1000000/+2000000
-    and EVERY planted pair must surface, else the query raises. The
+    and every planted pair must be CONNECTED through the emitted pairs
+    (union-find — the collapse contract's clustering equivalence, robust
+    to exact dups among the source docs), else the query raises. The
     returned rows are the unmodified original-corpus run."""
     from ..operators.dedup import minhash_lsh_near_dups
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    base = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    base = (d.filter(F.col("doc_id") < 20)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    planted_ids = [r.doc_id for r in base.select("doc_id").collect()]
     planted = d.unionByName(
         base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
         .unionByName(base.select(
@@ -151,11 +178,12 @@ def kg_minhash_near_dup_docs(spark, sf_dir):
     got = {(r.a, r.b) for r in minhash_lsh_near_dups(
         planted, "doc_id", "text", shingle_words=3,
         jaccard_threshold=0.5).collect()}
-    missing = [(i, i + off) for i in range(20)
-               for off in (1000000, 2000000) if (i, i + off) not in got]
+    want = [(i, i + off) for i in planted_ids
+            for off in (1000000, 2000000)]
+    missing = _planted_connected(got, want)
     if missing:
         raise AssertionError(
-            f"minhash planted-pair recall breach: missing {missing}")
+            f"minhash planted-pair recall breach: disconnected {missing}")
 
     return (minhash_lsh_near_dups(d, "doc_id", "text",
                                   shingle_words=3, jaccard_threshold=0.5)
@@ -165,22 +193,26 @@ def kg_minhash_near_dup_docs(spark, sf_dir):
 def kg_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs on documents (rows-only). SELF-VERIFYING
     (round 4): 20 exact copies planted at doc_id+1000000 have Hamming
-    distance 0 by construction — every planted pair must surface through
-    the band-blocking + popcount-verify path or the query raises. The
+    distance 0 by construction — every planted pair must be CONNECTED
+    through the emitted pairs (union-find, robust to exact dups among
+    the source docs — see _planted_connected) or the query raises. The
     returned rows are the unmodified original-corpus run."""
     from ..operators.dedup import simhash_near_dups
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    base = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    base = (d.filter(F.col("doc_id") < 20)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    planted_ids = [r.doc_id for r in base.select("doc_id").collect()]
     planted = d.select("doc_id", "text").unionByName(
         base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     got = {(r.a, r.b) for r in simhash_near_dups(
         planted, "doc_id", "text", max_hamming=10).collect()}
-    missing = [(i, i + 1000000) for i in range(20)
-               if (i, i + 1000000) not in got]
+    missing = _planted_connected(
+        got, [(i, i + 1000000) for i in planted_ids])
     if missing:
         raise AssertionError(
-            f"simhash planted-pair recall breach: missing {missing}")
+            f"simhash planted-pair recall breach: disconnected {missing}")
 
     return (simhash_near_dups(d, "doc_id", "text", max_hamming=10)
             .orderBy("a", "b"))

@@ -76,6 +76,20 @@ def test_extract_features_real_end_to_end(spark):
         assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-5
 
 
+def test_resize_real_null_payload_passes_through(spark):
+    """A NULL image payload yields a null output payload (same contract
+    as extract_features' null features) — never a stage failure."""
+    from llm_knowledge_graph_spark.operators.multimodal import (
+        MEDIA_SCHEMA, resize_images, synthesize_image_media)
+    m = synthesize_image_media(spark, n=3)
+    null_row = spark.createDataFrame(
+        [(99, "image", None, "image/png", 4, 4, None)], MEDIA_SCHEMA)
+    out = resize_images(m.unionByName(null_row), width=3, height=3,
+                        fake=False).collect()
+    assert len(out) == 4
+    assert sum(1 for r in out if r.payload is None) == 1
+
+
 def test_resize_real_end_to_end_nearest_neighbor(spark):
     from llm_knowledge_graph_spark.operators.multimodal import (
         _decode_image_real, resize_images, synthesize_image_media)
