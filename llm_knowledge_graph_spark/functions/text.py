@@ -27,6 +27,25 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def safe_seq(end: Column, start: int = 1) -> Column:
+    """Ascending-or-EMPTY integer sequence [start..end] — the safe index
+    generator for n-gram transforms over token arrays.
+
+    ``F.sequence(lit(1), size(toks) - k)`` is a trap: when
+    size(toks) <= k the sequence is DESCENDING ([1, 0], [1, 0, -1], …)
+    and the element_at/slice calls inside the transform lambda index
+    past the array. A row filter like ``size(toks) >= k + 1`` does NOT
+    protect the expression — Catalyst infers predicates over the gram
+    expression from downstream operators (InferFiltersFromGenerate
+    under an explode) and can evaluate the transform before/alongside
+    the size guard (observed: codegen'd Filter evaluating the transform
+    as a common subexpression). The gram expression itself must be
+    total; an empty index sequence makes the transform yield [] and the
+    lambda never run."""
+    return F.when(end >= start, F.sequence(F.lit(start), end)).otherwise(
+        F.array().cast("array<int>"))
+
+
 def token_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
         F.size(tokens(col)))

@@ -43,9 +43,10 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _pair_counts(seqs: DataFrame) -> DataFrame:
+    from ..functions.text import safe_seq
     sym = F.split(F.trim(F.col("seq")), " ")
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(sym) - 1),
+        safe_seq(F.size(sym) - 1),
         lambda i: F.struct(F.element_at(sym, i).alias("a"),
                            F.element_at(sym, i + 1).alias("b")))
     return (seqs.filter(F.size(sym) >= 2)

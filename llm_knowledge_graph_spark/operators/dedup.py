@@ -306,10 +306,18 @@ def _word_shingle_arrays(df: DataFrame, n: int, id_col: str,
     distinct-gram count) without paying the explode (round-4 review
     finding: doc_novelty_scores was deriving a doc-local count through
     a corpus-sized gram-keyed aggregation)."""
+    from ..functions.text import safe_seq
     d = df.withColumn("toks", F.split(F.col(text_col), " "))
     toks = F.col("toks")
+    # safe_seq, not F.sequence: the gram expression must be TOTAL (safe
+    # on size(toks) < n), not merely guarded by the row filter below —
+    # Catalyst infers predicates over the grams expression from
+    # downstream operators (InferFiltersFromGenerate under an explode)
+    # and can evaluate the transform before the size(toks) >= n filter;
+    # a bare sequence(1, size-(n-1)) goes DESCENDING on short docs and
+    # element_at indexes past the array (observed runtime error).
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        safe_seq(F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]),
     )

@@ -17,6 +17,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import safe_seq
 from ..functions.vectors import cosine
 from ..operators import dedup, similarity
 
@@ -304,7 +305,7 @@ def q_word_cooccurrence(spark, sf_dir):
     d = d.withColumn("toks", F.split(F.col("text"), " "))
     toks = F.col("toks")
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        safe_seq(F.size(toks) - 1),
         lambda i: F.struct(F.element_at(toks, i).alias("subj"),
                            F.element_at(toks, i + 1).alias("obj")),
     )
@@ -733,7 +734,7 @@ def _word_edges(d, src="src", dst="dst", simple=True):
     d = d.withColumn("toks", F.split(F.col("text"), " "))
     toks = F.col("toks")
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        safe_seq(F.size(toks) - 1),
         lambda i: F.struct(F.element_at(toks, i).alias(src),
                            F.element_at(toks, i + 1).alias(dst)),
     )
@@ -766,7 +767,7 @@ def q_doc_repetition_stats(spark, sf_dir):
     d = d.withColumn("toks", F.split(F.col("text"), " "))
     toks = F.col("toks")
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        safe_seq(F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i),
                               F.element_at(toks, i + 1)),
     )
@@ -876,7 +877,7 @@ def q_doc_shingle_components(spark, sf_dir):
     d = d.withColumn("toks", F.split(F.col("text"), " "))
     toks = F.col("toks")
     shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 7),
+        safe_seq(F.size(toks) - 7),
         lambda i: F.array_join(F.slice(toks, i, 8), " "),
     )
     sh = (d.filter(F.size(toks) >= 8)
@@ -3071,7 +3072,7 @@ def _bigram_edges(d):
     d = d.withColumn("toks", F.split(F.col("text"), " "))
     toks = F.col("toks")
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
+        safe_seq(F.size(toks) - 2),
         lambda i: F.struct(
             F.concat_ws(" ", F.element_at(toks, i),
                         F.element_at(toks, i + 1)).alias("src"),
