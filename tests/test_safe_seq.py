@@ -56,6 +56,39 @@ def test_word_edges_safe_on_single_word_doc(spark, tmp_path):
     assert sorted((r.a, r.b) for r in out) == [("x", "y"), ("y", "z")]
 
 
+def test_shingle_arrays_match_python_grams_randomized(spark):
+    """Exhaustive-ish fidelity: _word_shingle_arrays == Python slice
+    grams over a seeded random corpus spanning 0..12 tokens (below,
+    at, and above every n), unicode tokens, and within-doc repeats —
+    one Spark job per n, not per example."""
+    import random
+
+    from llm_knowledge_graph_spark.operators.dedup import _word_shingle_arrays
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "éé", "中文", "z9"]
+    corpus = [(i, " ".join(rng.choice(vocab)
+                           for _ in range(rng.randrange(0, 13))))
+              for i in range(120)]
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+
+    def py_grams(text, n):
+        w = text.split(" ")
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    for n in (2, 3, 5, 8):
+        got = {r.id: r.gs for r in
+               _word_shingle_arrays(df, n, "doc_id", "text").collect()}
+        exp = {i: py_grams(t, n) for i, t in corpus
+               if len(t.split(" ")) >= n}
+        assert got == exp, f"n={n}"
+        got_d = {r.id: r.gs for r in
+                 _word_shingle_arrays(df, n, "doc_id", "text",
+                                      distinct=True).collect()}
+        exp_d = {i: list(dict.fromkeys(v)) for i, v in exp.items()}
+        assert got_d == exp_d, f"distinct n={n}"
+
+
 def test_bpe_pair_counts_safe_on_single_symbol(spark):
     from llm_knowledge_graph_spark.operators.bpe import _pair_counts
     seqs = spark.createDataFrame(
