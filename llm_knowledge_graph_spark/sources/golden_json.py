@@ -128,8 +128,12 @@ def read_reference_graph_docs(spark: SparkSession, path: str) -> DataFrame:
     recovered deterministically from each doc's own Chunk node."""
     gd = (spark.read.schema(REF_GRAPH_DOC_SCHEMA)
           .option("multiLine", "true").json(path))
-    chunk_id = F.element_at(
-        F.filter("nodes", lambda n: n["type"] == F.lit("Chunk")), 1
+    # try_element_at, not element_at: under Spark 4 ANSI mode a doc
+    # without a Chunk node would throw on the empty filtered array;
+    # the coalesce below exists to map exactly that case to a null
+    # doc_id instead.
+    chunk_id = F.try_element_at(
+        F.filter("nodes", lambda n: n["type"] == F.lit("Chunk")), F.lit(1)
     )["id"]
     return gd.select(
         F.coalesce(
