@@ -401,6 +401,70 @@ def duplicate_shingle_mass(docs: DataFrame, n: int = 8,
                     F.expr("(1000 * n_dup_shingles) div n_shingles")))
 
 
+def remove_duplicate_spans(docs: DataFrame, n: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL (the transformation
+    counterpart of duplicate_shingle_mass's measurement): a token is
+    removed from a document when it is covered by an occurrence of a
+    word ``n``-gram that appears MORE THAN ONCE corpus-wide, unless
+    that occurrence is the gram's global first witness
+    (min (doc_id, position)). Each doc is reconstructed from its
+    surviving tokens in original order. Published semantics: Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" (suffix-array ExactSubstr), approximated at n-gram-marking
+    granularity the way Dolma/RefinedWeb-style pipelines do it.
+
+    Returns ``(id, n_tokens, n_removed, clean_md5)`` for EVERY input
+    doc (clean docs report n_removed = 0 and the digest of their
+    space-rejoined tokens). Deterministic by construction: a token's
+    fate depends only on global (doc_id, pos) witnesses, never on
+    partition layout. Note first-witness tokens can still be removed
+    when an OVERLAPPING non-first duplicated occurrence covers them —
+    the n-gram-marking contract, asserted in tests.
+
+    Scale shape: ONE corpus-wide gram aggregate (cnt + min-witness,
+    map-side combinable — the irreducible dedup shuffle, same
+    partitioning as the dup-span-mass/minhash gram aggs), one join of
+    the occurrence stream back on the gram key (fan-out linear in
+    occurrences, never a pair join), one doc-keyed regroup of removed
+    positions, and one doc-keyed join; reconstruction filters the
+    ORIGINAL unexploded token array JVM-side (no token re-sort, no
+    second explode)."""
+    from ..functions.text import safe_seq
+    d = docs.select(F.col(id_col).alias("id"),
+                    F.split(F.col(text_col), " ").alias("toks"))
+    toks = F.col("toks")
+    grams = F.transform(
+        safe_seq(F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    occ = (d.select("id", F.posexplode(grams).alias("p0", "g"))
+           .select("id", (F.col("p0") + 1).alias("pos"), "g"))
+    per_g = (occ.groupBy("g")
+             .agg(F.count("*").alias("cnt"),
+                  F.min(F.struct("id", "pos")).alias("w"))
+             .filter(F.col("cnt") >= 2))
+    dup_occ = (occ.join(per_g, "g")
+               .filter(~((F.col("id") == F.col("w.id"))
+                         & (F.col("pos") == F.col("w.pos")))))
+    removed = (dup_occ
+               .select("id", F.explode(
+                   F.sequence(F.col("pos"),
+                              F.col("pos") + (n - 1))).alias("rp"))
+               .groupBy("id")
+               .agg(F.collect_set("rp").alias("rps")))
+    rps = F.coalesce(F.col("rps"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda t, i: ~F.array_contains(rps, i + 1))
+    return (d.join(removed, "id", "left")
+            .select("id",
+                    F.size(toks).cast("long").alias("n_tokens"),
+                    F.coalesce(F.size("rps"), F.lit(0)).cast("long")
+                     .alias("n_removed"),
+                    F.md5(F.concat_ws(" ", kept).cast("string"))
+                     .alias("clean_md5")))
+
+
 def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     sep: str = ". ") -> DataFrame:

@@ -1004,6 +1004,20 @@ def q_doc_dup_span_mass(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_doc_dup_span_removal(spark, sf_dir):
+    """ExactSubstr-style duplicate-span REMOVAL
+    (dedup.remove_duplicate_spans): every token covered by a non-first
+    occurrence of a corpus-duplicated word 8-gram is removed, each doc
+    reconstructed from its survivors and digested. One row per doc —
+    clean docs report n_removed = 0, so the digest column is a
+    byte-level check on the full rewritten corpus."""
+    from ..operators.dedup import remove_duplicate_spans
+    d = _t(spark, sf_dir, "documents")
+    return (remove_duplicate_spans(d, n=8)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
 def q_brand_revenue_salted(spark, sf_dir):
     """Hot-key-safe revenue rollup: lineitem ⋈ broadcast(part) then the
     TWO-PHASE salted aggregation (skew.salted_sum, 16-way salt from
@@ -1940,6 +1954,37 @@ ORACLE_SQL["doc_dup_span_mass"] = """
     ORDER BY sh.doc_id
 """
 
+ORACLE_SQL["doc_dup_span_removal"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    occ AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+            FROM t, unnest(range(1, len(w) - 6)) r(i)),
+    flg AS (SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY g) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY doc_id, pos) AS rn
+            FROM occ),
+    rem AS (SELECT DISTINCT doc_id, pos + o AS rp
+            FROM flg, unnest(range(0, 8)) r(o)
+            WHERE cnt >= 2 AND rn > 1),
+    nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM rem
+             GROUP BY doc_id),
+    tok AS (SELECT doc_id, i AS pos, w[i] AS tk
+            FROM t, unnest(range(1, len(w) + 1)) r(i)),
+    keep AS (SELECT k.doc_id,
+                    string_agg(k.tk, ' ' ORDER BY k.pos) AS clean
+             FROM tok k LEFT JOIN rem r
+               ON r.doc_id = k.doc_id AND r.rp = k.pos
+             WHERE r.rp IS NULL
+             GROUP BY k.doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(keep.clean, '')) AS clean_md5
+    FROM t LEFT JOIN nrem USING (doc_id) LEFT JOIN keep USING (doc_id)
+    ORDER BY t.doc_id
+"""
+
 ORACLE_SQL["brand_revenue_salted"] = """
     SELECT p_brand,
            CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
@@ -1961,6 +2006,7 @@ ORACLE_SQL["events_hopping_counts"] = """
 SQL_QUERIES["doc_pii_redaction"] = q_doc_pii_redaction
 SQL_QUERIES["word_link_prediction"] = q_word_link_prediction
 SQL_QUERIES["doc_dup_span_mass"] = q_doc_dup_span_mass
+SQL_QUERIES["doc_dup_span_removal"] = q_doc_dup_span_removal
 SQL_QUERIES["brand_revenue_salted"] = q_brand_revenue_salted
 SQL_QUERIES["events_hopping_counts"] = q_events_hopping_counts
 
