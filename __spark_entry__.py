@@ -78,7 +78,7 @@ _FRONT = [
     "word_negative_samples", "doc_containment_pairs",
     # (b) new in round 4 ...
     "word_degree_salted",          # salted degree, oracled
-    "kg_multimodal_real_decode",   # real PNG/PPM decode, self-verifying
+    "kg_multimodal_real_decode",   # real PNG/PPM/WAV decode, self-verifying
     "golden_artifact_stats",       # hash-oracled vs the REAL reference file
     "doc_novelty_scores",          # first-witness n-gram novelty, oracled
     "doc_dup_span_removal",        # ExactSubstr-style span removal, oracled

@@ -7,9 +7,12 @@ spec — None/Sub/Up/Average/Paeth, 8-bit grey and RGB, non-interlaced)
 and binary PPM (P6), with a matching minimal PNG encoder so tests and
 the driver query synthesize REAL payloads and roundtrip them exactly.
 `extract_features(fake=False)` and `resize_images(fake=False)` run end
-to end on those payloads. AUDIO/VIDEO decode remains stubbed behind
-NotImplementedError (no ffmpeg in this container); `fake=True` keeps
-the deterministic stand-in for all kinds so the Spark-side plumbing —
+to end on those payloads. AUDIO decode is REAL too (round 4, second
+batch): stdlib `wave` handles mono 16-bit PCM WAV, featurized with an
+integer-exact amplitude histogram. VIDEO frame decode remains the one
+stub behind NotImplementedError (container parsing genuinely needs
+ffmpeg, which this container lacks); `fake=True` keeps the
+deterministic stand-in for all kinds so the Spark-side plumbing —
 schema, Arrow batch shape, mapInPandas partitioning, 1→N frame fan-out
 — is exercised for every modality either way.
 """
@@ -233,6 +236,55 @@ def _image_feature(arr: np.ndarray, bins: int = 16) -> np.ndarray:
     return v / n
 
 
+def wav_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal REAL WAV encoder (stdlib `wave`): mono 16-bit PCM from an
+    int16 sample array. Little-endian explicitly — WAV's wire format —
+    so payloads are byte-identical across platforms."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real audio decode, stdlib-only: mono 16-bit PCM WAV → (int16
+    samples, rate). Other encodings (MP3/OGG/multi-channel/float WAV)
+    genuinely need external codecs and raise — honest strictness,
+    matching the PNG/PPM-only image path."""
+    import io
+    import wave
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise NotImplementedError(
+                    "only mono 16-bit PCM WAV has a stdlib decode path")
+            samples = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2")
+            return samples, w.getframerate()
+    except (wave.Error, EOFError) as e:
+        # non-RIFF bytes (MP3/OGG/...) — same loud-failure contract as
+        # the non-PNG/PPM image path, never fabricated samples
+        raise NotImplementedError(
+            f"only WAV has a stdlib decode path ({e})") from e
+
+
+def _audio_feature(samples: np.ndarray, bins: int = 16) -> np.ndarray:
+    """Deterministic real audio feature: L2-normalized ``bins``-bin
+    amplitude histogram (integer-exact binning — (sample+32768) >> 12
+    for 16 bins over the int16 range), the audio twin of the image
+    luma histogram."""
+    hist = np.bincount(
+        ((samples.astype(np.int32) + 32768) >> 12), minlength=bins)[:bins]
+    v = hist.astype(np.float32)
+    n = float(np.linalg.norm(v)) or 1.0
+    return v / n
+
+
 def _decode_fake(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic fake 'decoder': feature = normalized bytes of a
     blake2b digest. Stable across runs/executors."""
@@ -248,9 +300,11 @@ def extract_features(media: DataFrame, fake: bool = True,
 
     ``fake=True``: deterministic digest features for EVERY kind (the
     plumbing stand-in). ``fake=False``: REAL decode — image rows are
-    PNG/PPM-decoded and featurized with the luminance histogram; audio/
-    video rows pass through with a null feature (their decoders need
-    ffmpeg, which this container lacks — nulls, not fabricated values).
+    PNG/PPM-decoded and featurized with the luminance histogram, audio
+    rows are WAV-decoded (stdlib `wave`) and featurized with the
+    amplitude histogram; video rows pass through with a null feature
+    (frame decode needs ffmpeg, which this container lacks — nulls,
+    not fabricated values).
 
     Partitioning: upstream should `repartition` by size so decode work
     balances; Arrow batches bound per-batch memory (payloads never
@@ -265,11 +319,18 @@ def extract_features(media: DataFrame, fake: bool = True,
                     for p in pdf["payload"]
                 ]
             else:
-                feats = [
-                    _image_feature(_decode_image_real(p)).tolist()
-                    if k == "image" and p is not None else None
-                    for k, p in zip(pdf["kind"], pdf["payload"])
-                ]
+                feats = []
+                for k, p in zip(pdf["kind"], pdf["payload"]):
+                    if p is None or k == "video":
+                        feats.append(None)
+                    elif k == "image":
+                        feats.append(
+                            _image_feature(_decode_image_real(p)).tolist())
+                    elif k == "audio":
+                        feats.append(
+                            _audio_feature(_wav_decode(p)[0]).tolist())
+                    else:
+                        feats.append(None)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -394,6 +455,28 @@ def synthesize_image_media(spark, n: int = 24, seed: int = 7) -> DataFrame:
             payload = png_encode(arr, filter_choice=lambda y: y % 5)
             mime = "image/png"
         rows.append((i, "image", bytearray(payload), mime, w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthesize_audio_media(spark, n: int = 16, seed: int = 9,
+                           start_id: int = 1000) -> DataFrame:
+    """Deterministic REAL audio table: valid mono 16-bit PCM WAV
+    payloads (seeded random int16 samples at mixed rates) with honest
+    duration_ms metadata — the fake=False test/driver corpus.
+    ``start_id`` keeps media_id disjoint from synthesize_image_media so
+    unions of the two stay joinable on media_id."""
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000)[i % 2]
+        n_frames = rate // 100 * (1 + i % 5)   # 10-50 ms of audio
+        samples = np.array([rng.randrange(-32768, 32768)
+                            for _ in range(n_frames)], dtype=np.int16)
+        rows.append((start_id + i, "audio",
+                     bytearray(wav_encode(samples, rate)),
+                     "audio/wav", None, None,
+                     n_frames * 1000 // rate))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -422,19 +422,32 @@ def kg_multimodal_features(spark, sf_dir):
 
 def kg_multimodal_real_decode(spark, sf_dir):
     """Round-4 fake=False variant of kg_multimodal_features: REAL stdlib
-    PNG/PPM decode (operators/multimodal._decode_image_real) over
-    synthesized VALID payloads, then a real resize whose output is
-    itself decoded and dimension-checked IN-QUERY (self-verifying: a
-    resize that emits a non-decodable or wrong-shaped payload raises).
-    Returns per-mime counts, byte totals, and the 4-decimal sum of all
-    feature mass (deterministic — integer luma histogram under the
-    hood). Rows-only: binary codecs are not ANSI-SQL."""
-    from ..operators.multimodal import (_decode_image_real, extract_features,
-                                        resize_images, synthesize_image_media)
-    media = synthesize_image_media(spark, n=24)
+    PNG/PPM decode (operators/multimodal._decode_image_real) AND real
+    WAV decode (stdlib `wave`) over synthesized VALID payloads, then a
+    real resize whose output is itself decoded and dimension-checked
+    IN-QUERY, plus an audio duration check against the decoded sample
+    counts (self-verifying: a codec that emits non-decodable payloads
+    or wrong durations raises). Returns per-mime counts, byte totals,
+    and the 4-decimal sum of all feature mass (deterministic — integer
+    luma/amplitude histograms under the hood). Rows-only: binary
+    codecs are not ANSI-SQL."""
+    from ..operators.multimodal import (_decode_image_real, _wav_decode,
+                                        extract_features, resize_images,
+                                        synthesize_audio_media,
+                                        synthesize_image_media)
+    imgs = synthesize_image_media(spark, n=24)
+    auds = synthesize_audio_media(spark, n=16)
+    media = imgs.unionByName(auds)
     feats = extract_features(media, fake=False)
 
-    resized = resize_images(media, width=6, height=4, fake=False).collect()
+    for r in auds.collect():
+        samples, rate = _wav_decode(bytes(r.payload))
+        if len(samples) * 1000 // rate != r.duration_ms:
+            raise AssertionError(
+                f"media {r.media_id}: decoded {len(samples)} samples @ "
+                f"{rate} Hz != duration_ms {r.duration_ms}")
+
+    resized = resize_images(imgs, width=6, height=4, fake=False).collect()
     if len(resized) != 24:
         raise AssertionError(f"resize dropped rows: {len(resized)}/24")
     for r in resized:

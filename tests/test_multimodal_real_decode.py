@@ -105,3 +105,61 @@ def test_resize_real_end_to_end_nearest_neighbor(spark):
         ys = (np.arange(4, dtype=np.int64) * src.shape[0]) // 4
         xs = (np.arange(6, dtype=np.int64) * src.shape[1]) // 6
         assert np.array_equal(got, src[ys][:, xs]), row.media_id
+
+
+def test_wav_roundtrip_exact():
+    from llm_knowledge_graph_spark.operators.multimodal import (_wav_decode,
+                                                                wav_encode)
+    rng = random.Random(19)
+    for rate in (8000, 16000, 44100):
+        samples = np.array([rng.randrange(-32768, 32768)
+                            for _ in range(257)], dtype=np.int16)
+        got, got_rate = _wav_decode(wav_encode(samples, rate))
+        assert got_rate == rate
+        assert np.array_equal(got, samples)
+
+
+def test_wav_decode_rejects_unsupported():
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from llm_knowledge_graph_spark.operators.multimodal import _wav_decode
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:       # stereo → unsupported
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00" * 8)
+    with _pytest.raises(NotImplementedError):
+        _wav_decode(buf.getvalue())
+
+
+def test_extract_features_real_audio_end_to_end(spark):
+    from llm_knowledge_graph_spark.operators.multimodal import (
+        _audio_feature, _wav_decode, extract_features,
+        synthesize_audio_media, synthesize_image_media)
+    media = (synthesize_image_media(spark, n=6)
+             .unionByName(synthesize_audio_media(spark, n=8)))
+    feats = {r.media_id: (r.kind, r.feature)
+             for r in extract_features(media, fake=False).collect()}
+    assert len(feats) == 14               # ids disjoint (audio start 1000)
+    auds = {r.media_id: bytes(r.payload)
+            for r in synthesize_audio_media(spark, n=8).collect()}
+    for mid, (kind, feat) in feats.items():
+        if kind != "audio":
+            assert feat is not None     # images real-decoded too
+            continue
+        want = _audio_feature(_wav_decode(auds[mid])[0])
+        got = np.array(feat, dtype=np.float32)
+        assert np.allclose(got, want, atol=1e-6), mid
+        assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-5
+
+
+def test_audio_duration_metadata_matches_decode(spark):
+    from llm_knowledge_graph_spark.operators.multimodal import (
+        _wav_decode, synthesize_audio_media)
+    for r in synthesize_audio_media(spark, n=16).collect():
+        samples, rate = _wav_decode(bytes(r.payload))
+        assert len(samples) * 1000 // rate == r.duration_ms
