@@ -371,7 +371,11 @@ def q_doc_quality(spark, sf_dir):
     n_punct = F.length("text") - F.length(F.translate("text", ".,!?;:", ""))
     len_ok = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     wl_ok = F.when((avg_wl >= 3) & (avg_wl <= 10), F.lit(1.0)).otherwise(0.5)
-    punct_ok = F.lit(1.0) - F.least(n_punct * 5.0 / F.col("n_chars"), F.lit(1.0))
+    # greatest(n_chars, 1): an empty doc (n_chars = 0, n_punct = 0) must
+    # score punct_ok = 1.0, not divide by zero under ANSI mode — same
+    # guard in the oracle twin
+    punct_ok = F.lit(1.0) - F.least(
+        n_punct * 5.0 / F.greatest(F.col("n_chars"), F.lit(1)), F.lit(1.0))
     score = F.round((len_ok + wl_ok + punct_ok) / 3.0, 4)
     return (d.select("doc_id", n_tok.alias("n_tokens"),
                      score.alias("quality"))
@@ -1366,7 +1370,8 @@ ORACLE_SQL: Dict[str, str] = {
                ROUND((least(n_tokens / 50.0, 1.0)
                       + (CASE WHEN avg_wl >= 3 AND avg_wl <= 10
                               THEN 1.0 ELSE 0.5 END)
-                      + (1.0 - least(n_punct * 5.0 / n_chars, 1.0))) / 3.0,
+                      + (1.0 - least(n_punct * 5.0 / greatest(n_chars, 1),
+                                     1.0))) / 3.0,
                      4) AS quality
         FROM q
         ORDER BY quality DESC, doc_id LIMIT 20

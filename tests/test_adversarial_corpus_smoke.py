@@ -1,0 +1,72 @@
+"""Adversarial-corpus smoke: every documents-only driver query must run
+(not crash) on a corpus of edge-case docs — empty text, single-word and
+two-word docs (below every shingle n), a 500-char single token, unicode
+tokens, punctuation runs, and heavy repetition.
+
+This is the test class that catches expression-totality bugs the happy-
+path corpus can't: the round-4 descending-sequence crash (a 2-token doc
+at n=3 under Catalyst's InferFiltersFromGenerate) only manifests on
+docs shorter than the gram width, and the sf testdata has none."""
+
+from __future__ import annotations
+
+import pytest
+
+# every SQL_QUERIES entry whose only table is `documents`
+DOC_ONLY_QUERIES = [
+    "doc_lang_counts", "doc_token_stats", "doc_exact_dedup",
+    "doc_stopword_ratio", "word_cooccurrence", "doc_fingerprint",
+    "ngram_jaccard_pairs", "doc_lang_id", "doc_quality",
+    "doc_regex_tokens", "doc_winnow_fingerprint", "doc_classification",
+    "doc_taxonomy_classification", "word_pagerank",
+    "doc_repetition_stats", "doc_decontamination", "doc_train_split",
+    "word_graph_stats", "doc_length_quantiles", "word_bfs_distances",
+    "doc_shingle_components", "doc_pii_redaction",
+    "word_link_prediction", "doc_dup_span_mass", "doc_dup_span_removal",
+    "doc_filter_funnel", "doc_pack_bins", "lang_temperature_weights",
+    "doc_stratified_sample", "bpe_compression", "lang_distinct_hll",
+    "word_cms_topk", "doc_blocklist_bloom", "doc_bm25_topk",
+    "url_dup_stats", "doc_surprisal_topk", "domain_cap_rollup",
+    "quality_threshold_sweep", "dup_cluster_histogram",
+    "doc_paragraph_dedup", "vocab_growth", "zipf_band_histogram",
+    "word_kcore", "crawl_snapshot_diff", "word_ppr_topk",
+    "doc_length_hist_quantiles", "word_negative_samples",
+    "doc_containment_pairs", "word_degree_salted", "doc_novelty_scores",
+]
+
+_EDGE_DOCS = [
+    (0, "", "en", "src0"),                           # empty text
+    (1, "solo", "en", "src0"),                       # 1 token
+    (2, "two words", "de", "src1"),                  # 2 tokens (< n=3..8)
+    (3, "x " * 3 + "x", "fr", "src1"),               # 4 repeated tokens
+    (4, "w" * 500, "es", "src2"),                    # one 500-char token
+    (5, "中文 字符 éé üü ß 中文 字符", "en", "src2"),  # unicode tokens
+    (6, "a.b,c;d:e!f?g (h) [i] {j}", "de", "src3"),  # punctuation run
+    (7, "the of and to is a " * 8, "en", "src3"),    # stopword soup
+    (8, "pack my box with five dozen liquor jugs extra tail words "
+        "to clear every shingle width in the suite", "en", "src4"),
+    (9, ("repeat me " * 12).strip(), "fr", "src4"),  # heavy repetition
+    (10, "the quick brown fox jumps over the lazy dog again and again "
+         "with enough words for eight gram shingles", "en", "src5"),
+    (11, "the quick brown fox jumps over the lazy dog again and again "
+         "with enough words for eight gram shingles", "es", "src5"),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("edge_sf")
+    rows = [(i, t, lang, src, len(t)) for i, t, lang, src in _EDGE_DOCS]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(out / "documents.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", DOC_ONLY_QUERIES)
+def test_doc_query_survives_edge_corpus(spark, edge_sf_dir, name):
+    from llm_knowledge_graph_spark.plans.driver_queries import SQL_QUERIES
+    rows = SQL_QUERIES[name](spark, edge_sf_dir).collect()
+    assert isinstance(rows, list)       # ran to completion, any row count
