@@ -70,3 +70,47 @@ def test_doc_query_survives_edge_corpus(spark, edge_sf_dir, name):
     from llm_knowledge_graph_spark.plans.driver_queries import SQL_QUERIES
     rows = SQL_QUERIES[name](spark, edge_sf_dir).collect()
     assert isinstance(rows, list)       # ran to completion, any row count
+
+
+# every SQL_QUERIES entry whose only table is `events` (streaming
+# variants included — their batch-source path reads the same parquet)
+EVENTS_ONLY_QUERIES = [
+    "events_latest_per_user", "events_type_stats", "user_sessions",
+    "user_session_windows", "events_stream_sessions",
+    "events_json_extract", "events_hourly_stream_counts",
+    "events_asof_purchase", "events_range_join", "events_hopping_counts",
+    "events_funnel", "events_zorder_pruning", "events_stream_enriched",
+    "events_hour_type_pivot",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    """Edge events: a single user, simultaneous timestamps, empty and
+    malformed JSON props, zero/negative values, an event type outside
+    every pinned vocabulary, and one lone user with one event."""
+    import datetime as dt
+    out = tmp_path_factory.mktemp("edge_events")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 0.0, "{}"),
+        (1, t0, 1, "view", -5.0, ""),               # simultaneous + empty
+        (2, t0, 1, "purchase", 0.0, "not json"),     # malformed props
+        (3, t0 + dt.timedelta(hours=2), 1, "weird_type", 1.5,
+         '{"k": null}'),
+        (4, t0 + dt.timedelta(hours=2, seconds=1), 2, "click", 2.5,
+         '{"device": "m"}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(out / "events.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY_QUERIES)
+def test_events_query_survives_edge_corpus(spark, edge_events_dir, name):
+    from llm_knowledge_graph_spark.plans.driver_queries import SQL_QUERIES
+    rows = SQL_QUERIES[name](spark, edge_events_dir).collect()
+    assert isinstance(rows, list)
