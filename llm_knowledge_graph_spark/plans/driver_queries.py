@@ -692,7 +692,12 @@ def q_label_centroid_norms(spark, sf_dir):
     S_dim), squares accumulate exactly (decimal(38,0) here, HUGEINT in the
     oracle), and the single lossy step — sqrt — runs on the IDENTICAL
     exact integer on both engines, so the IEEE doubles (and the rounded
-    output) are bit-equal.  norm = sqrt(Σ S_dim²) / (n_vectors·1e6)."""
+    output) are bit-equal.  norm = sqrt(Σ S_dim²) / (n_vectors·1e6).
+
+    Input domain: |component| < ~9.2e12 (BIGINT range / 1e6). Embedding
+    components outside it overflow the micro-unit cast and fail LOUDLY
+    under ANSI (pinned in the edge-corpus smoke suite) — the exactness
+    contract forbids silently clamping them."""
     e = _t(spark, sf_dir, "embeddings")
     comp = e.select("label", F.posexplode("embedding").alias("dim", "v"))
     per_dim = comp.groupBy("label", "dim").agg(

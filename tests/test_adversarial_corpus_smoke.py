@@ -114,3 +114,62 @@ def test_events_query_survives_edge_corpus(spark, edge_events_dir, name):
     from llm_knowledge_graph_spark.plans.driver_queries import SQL_QUERIES
     rows = SQL_QUERIES[name](spark, edge_events_dir).collect()
     assert isinstance(rows, list)
+
+
+# every SQL_QUERIES entry whose only table is `embeddings`
+EMBEDDINGS_ONLY_QUERIES = [
+    "cosine_topk", "cosine_near_dup_pairs", "knn_join",
+    "label_centroid_norms", "doc_semantic_dedup", "cosine_topk_sq8",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_embeddings_dir(spark, tmp_path_factory):
+    """Edge vectors: the all-zero vector (norm 0), exact duplicates,
+    tiny and huge magnitudes, negative-only components — the inputs
+    that break unguarded norm divisions and quantization."""
+    out = tmp_path_factory.mktemp("edge_emb")
+    dim = 8
+    vecs = [
+        (0, [0.0] * dim, 0),                      # zero vector
+        (1, [1.0] + [0.0] * (dim - 1), 0),
+        (2, [1.0] + [0.0] * (dim - 1), 1),        # exact duplicate of 1
+        (3, [1e-30] * dim, 1),                    # underflow-tiny
+        # huge mixed-sign, but inside label_centroid_norms' documented
+        # micro-unit domain (|v| < ~9.2e12); the out-of-domain loud
+        # failure is pinned separately below
+        (4, [1e6, -1e6] * (dim // 2), 2),
+        (5, [-1.0] * dim, 2),                     # negative-only
+        (6, [float(i) for i in range(dim)], 3),
+        (7, [float(dim - i) for i in range(dim)], 3),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EMBEDDINGS_ONLY_QUERIES)
+def test_embeddings_query_survives_edge_corpus(spark, edge_embeddings_dir,
+                                               name):
+    from llm_knowledge_graph_spark.plans.driver_queries import SQL_QUERIES
+    rows = SQL_QUERIES[name](spark, edge_embeddings_dir).collect()
+    assert isinstance(rows, list)
+
+
+def test_centroid_norms_fails_loudly_outside_microunit_domain(
+        spark, tmp_path):
+    """label_centroid_norms' exactness contract (integer micro-units)
+    cannot represent |v| >= ~9.2e12 — such input must fail LOUDLY
+    (ANSI cast overflow), never silently clamp."""
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from llm_knowledge_graph_spark.plans.driver_queries import SQL_QUERIES
+    df = spark.createDataFrame(
+        [(0, [1e30] * 4, 0)], "vec_id long, embedding array<float>, "
+                              "label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ArithmeticException, match="CAST_OVERFLOW"):
+        SQL_QUERIES["label_centroid_norms"](spark, str(tmp_path)).collect()
