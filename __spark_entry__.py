@@ -82,6 +82,7 @@ _FRONT = [
     "golden_artifact_stats",       # hash-oracled vs the REAL reference file
     "doc_novelty_scores",          # first-witness n-gram novelty, oracled
     "doc_dup_span_removal",        # ExactSubstr-style span removal, oracled
+    "doc_backoff_lm",              # Stupid Backoff bigram LM, oracled
     # ... and changed in round 4 (now self-verifying in-query)
     "kg_ann_lsh_topk", "kg_ann_ivf_topk", "kg_minhash_near_dup_docs",
     "kg_simhash_pairs", "kg_cosine_near_dup_lsh",

