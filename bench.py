@@ -21,7 +21,8 @@ recorded artifact instead of silently inflating per-query numbers.
 Cross-round accounting: round 2 added legal_citations +
 doc_classification to the round-1 set; round 3 added doc_filter_funnel,
 bpe_merges, lang_distinct_hll, and doc_bm25_topk (~3-6s combined);
-round 4 added doc_dup_span_removal (~2.4s) — compare totals across
+round 4 added doc_dup_span_removal (~2.4s) and doc_backoff_lm
+(~3.6s) — compare totals across
 rounds net of the additions, and per-query mins (not totals) for
 drift. Numbers are min-of-N in-process repeats; the
 host itself drifts 25-40%.
@@ -48,8 +49,9 @@ BENCH_SQL = [
     "doc_filter_funnel", "bpe_merges",
     # round-3 additions: sketches (HLL) + lexical retrieval (BM25)
     "lang_distinct_hll", "doc_bm25_topk",
-    # round-4 addition: ExactSubstr-style corpus rewrite
-    "doc_dup_span_removal",
+    # round-4 additions: ExactSubstr-style corpus rewrite + bigram
+    # Stupid Backoff LM scoring
+    "doc_dup_span_removal", "doc_backoff_lm",
 ]
 
 
