@@ -163,3 +163,27 @@ def test_edge_properties_and_lineage(kg_result, oracle_graph):
         assert gp is not None, key
         assert dict(r.properties or {}) == gp[0], key
         assert (r.url, r.chunk_id) == (gp[1], gp[2]), key
+
+
+def test_empty_and_tiny_corpus_parity(spark):
+    """build_kg must survive a 0-page corpus (the incremental-ingest
+    empty-batch case) and match the Python oracle on corpora where the
+    language filter drops everything (n=1,2 at seed=1 are non-en) or
+    nearly everything (n=3 yields the first en page)."""
+    from llm_knowledge_graph_spark.config import PipelineConfig
+    from llm_knowledge_graph_spark.corpus import make_pages
+    from llm_knowledge_graph_spark.plans.pipeline import build_kg
+    from llm_knowledge_graph_spark.reference_impl import reference_pipeline
+    from llm_knowledge_graph_spark.sources.pages import synthesize_pages
+
+    for n in (0, 1, 3):
+        res = build_kg(spark, synthesize_pages(spark, n, seed=1),
+                       PipelineConfig())
+        ref = reference_pipeline(make_pages(n, seed=1))
+        got_nodes = {(r.type, r.id) for r in res.nodes.collect()}
+        exp_nodes = {(x["type"], x["id"]) for x in ref["nodes"]}
+        assert got_nodes == exp_nodes, n
+        assert res.edges.count() == len(ref["edges"]), n
+        # canonicalization (linking + CC) must also run on the tiny/empty
+        # corpus; aliases can only merge nodes, never invent them
+        assert res.canonical_nodes.count() <= len(exp_nodes), n
