@@ -431,15 +431,13 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
     positions, and one doc-keyed join; reconstruction filters the
     ORIGINAL unexploded token array JVM-side (no token re-sort, no
     second explode)."""
-    from ..functions.text import safe_seq
     d = docs.select(F.col(id_col).alias("id"),
                     F.split(F.col(text_col), " ").alias("toks"))
     toks = F.col("toks")
-    grams = F.transform(
-        safe_seq(F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]))
-    occ = (d.select("id", F.posexplode(grams).alias("p0", "g"))
+    # the ONE shared gram builder (same tokenization/indexing as every
+    # other shingle consumer — review finding: no second inline copy)
+    occ = (_word_shingle_arrays(docs, n, id_col, text_col)
+           .select("id", F.posexplode("gs").alias("p0", "g"))
            .select("id", (F.col("p0") + 1).alias("pos"), "g"))
     per_g = (occ.groupBy("g")
              .agg(F.count("*").alias("cnt"),

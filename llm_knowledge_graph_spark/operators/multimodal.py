@@ -275,11 +275,14 @@ def _wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
 
 def _audio_feature(samples: np.ndarray, bins: int = 16) -> np.ndarray:
     """Deterministic real audio feature: L2-normalized ``bins``-bin
-    amplitude histogram (integer-exact binning — (sample+32768) >> 12
-    for 16 bins over the int16 range), the audio twin of the image
-    luma histogram."""
+    amplitude histogram (integer-exact binning — the shifted uint16
+    sample's top log2(bins) bits; bins must be a power of two), the
+    audio twin of the image luma histogram."""
+    if bins & (bins - 1):
+        raise ValueError(f"bins must be a power of two, got {bins}")
+    shift = 16 - (bins.bit_length() - 1)
     hist = np.bincount(
-        ((samples.astype(np.int32) + 32768) >> 12), minlength=bins)[:bins]
+        ((samples.astype(np.int32) + 32768) >> shift), minlength=bins)[:bins]
     v = hist.astype(np.float32)
     n = float(np.linalg.norm(v)) or 1.0
     return v / n

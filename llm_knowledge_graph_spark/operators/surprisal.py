@@ -75,8 +75,11 @@ def stupid_backoff_bits(train: DataFrame, score: DataFrame,
       OOV b:                  ALPHA_BITS + flog2(N) + 1
 
     Returns (id, n_bigrams, n_backoff, n_oov, bits_units,
-    mean_millibits) — all BIGINT; docs with < 2 tokens are skipped
-    (no bigram events).
+    mean_millibits) — all BIGINT; docs with < 2 non-empty tokens are
+    skipped (no bigram events). Tokenization: split on space, drop
+    empty tokens, pair adjacent survivors — identical for counting and
+    scoring. An empty train corpus scores every event as OOV at
+    ALPHA_BITS + 1 (N pinned to 1), keeping the all-BIGINT contract.
 
     Scale shape: train-side counts are two map-side-combinable
     aggregates (unigram, bigram); N rides a 1-row broadcast total.
@@ -87,28 +90,31 @@ def stupid_backoff_bits(train: DataFrame, score: DataFrame,
     the exact trick Brants et al. shard by."""
     from ..functions.text import safe_seq
 
-    uni = (train.select(F.explode(F.split(F.col(text_col), " "))
-                        .alias("w"))
-           .filter(F.col("w") != "")
-           .groupBy("w").agg(F.count("*").alias("c")))
-    n_total = uni.agg(F.sum("c").alias("n"))
+    # ONE tokenization rule everywhere: split, drop empty tokens (runs
+    # of spaces), THEN pair adjacent survivors — unigram counts, bigram
+    # counts, and the scoring stream all see the same token sequence
+    # (an empty token in only one of them would silently misclassify
+    # seen bigrams as OOV through null count lookups).
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    pairs = F.transform(
+        safe_seq(F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("a"),
+                           F.element_at(toks, i + 1).alias("b")))
 
-    ttoks = F.split(F.col(text_col), " ")
-    tpairs = F.transform(
-        safe_seq(F.size(ttoks) - 1),
-        lambda i: F.struct(F.element_at(ttoks, i).alias("a"),
-                           F.element_at(ttoks, i + 1).alias("b")))
-    bi = (train.select(F.explode(tpairs).alias("p"))
+    uni = (train.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    # greatest(n, 1): an EMPTY train corpus scores every event through
+    # the OOV branch at ALPHA_BITS + flog2(1) + 1 — all-BIGINT output
+    # holds instead of null scores leaking into keep/flag decisions
+    n_total = uni.agg(F.greatest(F.coalesce(F.sum("c"), F.lit(0)),
+                                 F.lit(1)).alias("n"))
+
+    bi = (train.select(F.explode(pairs).alias("p"))
           .select("p.a", "p.b")
           .groupBy("a", "b").agg(F.count("*").alias("c_ab")))
 
-    stoks = F.split(F.col(text_col), " ")
-    spairs = F.transform(
-        safe_seq(F.size(stoks) - 1),
-        lambda i: F.struct(F.element_at(stoks, i).alias("a"),
-                           F.element_at(stoks, i + 1).alias("b")))
     ev = (score.select(F.col(id_col).alias("id"),
-                       F.explode(spairs).alias("p"))
+                       F.explode(pairs).alias("p"))
           .select("id", "p.a", "p.b"))
 
     ev = (ev.join(bi, ["a", "b"], "left")

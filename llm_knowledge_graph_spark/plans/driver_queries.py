@@ -2816,14 +2816,19 @@ def q_doc_backoff_lm(spark, sf_dir):
 
 
 ORACLE_SQL["doc_backoff_lm"] = """
-    WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+    WITH tr AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS w
                 FROM documents WHERE doc_id % 2 = 0),
-    sc AS (SELECT doc_id, string_split(text, ' ') AS w
+    sc AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '),
+                              x -> x <> '') AS w
            FROM documents WHERE doc_id % 2 = 1),
     uni AS (SELECT word, COUNT(*) AS c
             FROM (SELECT unnest(w) AS word FROM tr) t
-            WHERE word <> '' GROUP BY word),
-    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+            GROUP BY word),
+    tot AS (SELECT CAST(greatest(COALESCE(SUM(c), 0), 1) AS BIGINT) AS n
+            FROM uni),
     bi AS (SELECT a, b, COUNT(*) AS c_ab
            FROM (SELECT w[i] AS a, w[i+1] AS b
                  FROM tr, unnest(range(1, len(w))) r(i)) t

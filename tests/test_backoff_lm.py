@@ -18,14 +18,13 @@ def _py_backoff(train, score):
     uni = Counter()
     bi = Counter()
     for _, t in train:
-        w = [x for x in t.split(" ") if x]
-        uni.update(w)
-        ws = t.split(" ")
-        bi.update(zip(ws, ws[1:]))
-    n = sum(uni.values())
+        w = [x for x in t.split(" ") if x]      # ONE tokenization rule:
+        uni.update(w)                           # empties dropped, then
+        bi.update(zip(w, w[1:]))                # adjacent survivors pair
+    n = max(sum(uni.values()), 1)               # empty train: N pinned 1
     out = {}
     for i, t in score:
-        ws = t.split(" ")
+        ws = [x for x in t.split(" ") if x]
         pairs = list(zip(ws, ws[1:]))
         if not pairs:
             continue
@@ -72,6 +71,24 @@ def test_backoff_three_branches(spark):
     assert got[1][1] == 0 and got[1][2] == 0      # all seen
     assert got[3][1] >= 1                         # backoff fired
     assert got[5][2] >= 1                         # oov fired
+
+
+def test_backoff_empty_tokens_and_empty_train(spark):
+    # consecutive spaces: both engines must pair the SAME survivor
+    # sequence (review finding: an empty token present in the bigram
+    # stream but absent from the unigram counts silently misclassified
+    # seen bigrams as OOV through null lookups)
+    train = [(0, "a  b a b")]
+    score = [(1, "a  b"), (3, "  ")]
+    got = _got(spark, train, score)
+    exp = _py_backoff(train, score)
+    assert got == exp
+    assert got[1] == (1, 0, 0, exp[1][3], exp[1][4])   # seen bigram
+    assert 3 not in got                                # no survivors
+    # empty train: every event is OOV at ALPHA_BITS + flog2(1) + 1 = 2,
+    # all-BIGINT (no null scores)
+    got0 = _got(spark, [], [(1, "x y z")])
+    assert got0 == {1: (2, 0, 2, 4, 2000)} == _py_backoff([], [(1, "x y z")])
 
 
 def test_backoff_matches_python_randomized(spark):
