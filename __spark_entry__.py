@@ -60,9 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose most recent record is two rounds old (evidence goes
 # stale oldest-first). Everything recorded LAST round moves past the
 # budget line; what doesn't fit in the 50 slots goes to _R{N+1}_PRIORITY
-# — the explicit head of the NEXT round's rotation. With a ~118-query
+# — the explicit head of the NEXT round's rotation. With a ~119-query
 # surface and 50 slots, steady-state evidence age is bounded by
-# ceil(118/50) = 3 rounds (each round re-records the oldest ~50, so a
+# ceil(119/50) = 3 rounds (each round re-records the oldest ~50, so a
 # query waits at most two rounds between records once the never-
 # recorded backlog is drained), and changed code always re-records
 # immediately.
@@ -83,6 +83,7 @@ _FRONT = [
     "doc_novelty_scores",          # first-witness n-gram novelty, oracled
     "doc_dup_span_removal",        # ExactSubstr-style span removal, oracled
     "doc_backoff_lm",              # Stupid Backoff bigram LM, oracled
+    "word_communities",            # synchronous LPA, 4-round unrolled oracle
     # ... and changed in round 4 (now self-verifying in-query)
     "kg_ann_lsh_topk", "kg_ann_ivf_topk", "kg_minhash_near_dup_docs",
     "kg_simhash_pairs", "kg_cosine_near_dup_lsh",

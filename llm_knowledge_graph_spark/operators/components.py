@@ -17,7 +17,7 @@ empirically) — it is the default distributed path in `canonical_mapping`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -485,3 +485,47 @@ def personalized_pagerank_exact(edges: DataFrame, seeds: DataFrame,
                     .cast("long").alias("rank_units"))
         ).localCheckpoint()
     return ranks
+
+
+def label_propagation(edges: DataFrame, rounds: int,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation community detection
+    (Raghavan et al. 2007) over the undirected simple graph underlying
+    a (src, dst) edge list: labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors, ties
+    broken by MINIMUM label (lexicographic) — the determinism rule that
+    makes the fixed-round run engine-portable (classic async LPA is
+    order-dependent; the synchronous + min-tie variant is a pure
+    function of the graph).
+
+    The FIXED iteration count is the pinned engine contract (like
+    pagerank_exact's 10 rounds and k_core's bounded peel): an unrolled
+    SQL twin replays the identical rounds; synchronous LPA may
+    oscillate on bipartite structures, so the bound IS the semantics,
+    not an approximation of a fixpoint.
+
+    Per round: one both-directions edge projection joined to the label
+    frame (node-id key), one (node, label) count aggregate (map-side
+    combinable), one per-node arg-max window. At 100 TB every step
+    shares the node-id partitioning; the label frame is node-sized.
+
+    Returns (id, community) — community = the surviving label.
+    """
+    sym = (edges.filter(F.col(src) != F.col(dst))
+           .select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    sym = (sym.union(sym.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+           .distinct().localCheckpoint())
+    labels = (sym.select(F.col("a").alias("id")).distinct()
+              .withColumn("community", F.col("id")))
+    w = Window.partitionBy("id").orderBy(F.desc("c"), "community")
+    for _ in range(rounds):
+        msgs = (sym.join(labels.withColumnRenamed("id", "a"), "a")
+                .select(F.col("b").alias("id"), "community"))
+        counted = (msgs.groupBy("id", "community")
+                   .agg(F.count("*").alias("c")))
+        labels = (counted.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("id", "community")
+                  .localCheckpoint())
+    return labels

@@ -3264,6 +3264,49 @@ ORACLE_SQL["word_kcore"] = _kcore_oracle_sql(_BIGRAM_EDGES_CTE, 26, 6)
 SQL_QUERIES["word_kcore"] = q_word_kcore
 
 
+def q_word_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation
+    (components.label_propagation, 4 pinned rounds, Raghavan et al.
+    2007 with min-label tie-break) over the adjacent-bigram graph —
+    the fourth fully-value-hashed iterative algorithm. The oracle
+    unrolls the identical 4 rounds; the bound IS the semantics
+    (synchronous LPA can oscillate, so no fixpoint claim is made)."""
+    from ..operators.components import label_propagation
+    edges = _bigram_edges(_t(spark, sf_dir, "documents"))
+    return (label_propagation(edges, rounds=4)
+            .withColumnRenamed("id", "node")
+            .orderBy("node"))
+
+
+def _lpa_oracle_sql(edges_cte: str, rounds: int) -> str:
+    # AS MATERIALIZED for the same reason as the k-core oracle: each
+    # round references the previous label frame once but the chain
+    # would otherwise re-expand the parquet scan per round
+    parts = [f"WITH bedges AS MATERIALIZED ({edges_cte}),",
+             "sym AS MATERIALIZED ("
+             "SELECT src AS a, dst AS b FROM bedges WHERE src <> dst"
+             " UNION "
+             "SELECT dst AS a, src AS b FROM bedges WHERE src <> dst),",
+             "l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS community"
+             " FROM sym),"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT id, community FROM ("
+            f"SELECT s.b AS id, l.community,"
+            f" ROW_NUMBER() OVER (PARTITION BY s.b"
+            f" ORDER BY COUNT(*) DESC, l.community) AS rn"
+            f" FROM sym s JOIN l{i - 1} l ON s.a = l.id"
+            f" GROUP BY s.b, l.community) t WHERE rn = 1),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id AS node, community FROM l{rounds} ORDER BY node")
+    return "\n".join(parts)
+
+
+ORACLE_SQL["word_communities"] = _lpa_oracle_sql(_BIGRAM_EDGES_CTE, 4)
+SQL_QUERIES["word_communities"] = q_word_communities
+
+
 def q_crawl_snapshot_diff(spark, sf_dir):
     """Incremental-crawl diff (snapshots.snapshot_diff): snapshot B is
     fabricated from the documents table — doc_id%17==0 disappear

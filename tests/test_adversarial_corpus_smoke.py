@@ -32,7 +32,7 @@ DOC_ONLY_QUERIES = [
     "word_kcore", "crawl_snapshot_diff", "word_ppr_topk",
     "doc_length_hist_quantiles", "word_negative_samples",
     "doc_containment_pairs", "word_degree_salted", "doc_novelty_scores",
-    "doc_backoff_lm",
+    "doc_backoff_lm", "word_communities",
 ]
 
 _EDGE_DOCS = [
