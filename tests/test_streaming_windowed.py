@@ -230,3 +230,70 @@ def test_stream_static_enriched_equals_batch(spark):
     # tier with mult > 1
     for tier in ("silver", "gold", "vip"):
         assert got[tier][2] > got[tier][1]
+
+
+def _write_event_files(spark, src_dir, *file_rows):
+    import os
+    import time
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, rows in enumerate(file_rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(f"{src_dir}/f{i}")
+        time.sleep(1.1)   # distinct mtimes → deterministic batch order
+    return schema
+
+
+def test_windowed_append_watermark_contract(spark, tmp_path):
+    """Pin Spark's ACTUAL late-data guarantee for watermarked windowed
+    aggregation in append mode (the one-sided contract a late-data
+    pipeline must design around, verified against observed
+    numRowsDroppedByWatermark):
+
+    1. a late row arriving AFTER its window's state was evicted is
+       DROPPED — it neither resurrects nor duplicates the window;
+    2. every window is emitted AT MOST ONCE, with on-time counts only;
+    3. the watermark does NOT promise to drop all late rows — one
+       arriving in the same micro-batch as its window's eviction may
+       still merge (docs: 'may or may not be aggregated').
+    """
+    import datetime as dt
+
+    from llm_knowledge_graph_spark.streaming.windowed import (
+        windowed_event_counts)
+
+    def ev(eid, hour, minute):
+        return (eid, dt.datetime(2024, 1, 1, hour, minute), 1,
+                "view", 1.0, "{}")
+
+    # f0 seeds window [1,2) and advances event time to 10:30 (watermark
+    # 08:30 after batch 0); f1 advances again so batch 1 evicts+emits
+    # window [1,2); f2 delivers a LATE 01:45 row for the already-
+    # emitted window plus a 23:30 row that finalizes [10,11)/[11,12).
+    schema = _write_event_files(
+        spark, str(tmp_path / "ev_late"),
+        [ev(0, 1, 30), ev(1, 10, 30)],
+        [ev(2, 11, 30)],
+        [ev(3, 1, 45), ev(4, 23, 30)],
+    )
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "ev_late") + "/*"))
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("late_contract")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+         .trigger(availableNow=True).start())
+    _drain(q, timeout=180)
+
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress if p["stateOperators"])
+    assert dropped == 1          # the post-eviction late row was dropped
+
+    rows = spark.table("late_contract").collect()
+    got = sorted((r["window_start"].hour, r["n"]) for r in rows)
+    # window 1 exactly once with the ON-TIME count only; 23 unemitted
+    # (watermark never passed midnight)
+    assert got == [(1, 1), (10, 1), (11, 1)], got
