@@ -333,9 +333,21 @@ def _word_shingles(df: DataFrame, n: int, id_col: str, text_col: str,
     gram builder for ngram_contamination and duplicate_shingle_mass
     (whose DuckDB oracles share a slice-based twin the same way;
     previously two divergable copies, review finding round 3).
-    ``distinct=True`` collapses within-doc repeats before the explode."""
+    ``distinct=True`` collapses within-doc repeats before the explode.
+
+    explode_OUTER + g-not-null, not plain explode: for an inner
+    generate, Catalyst's InferFiltersFromGenerate synthesizes
+    ``size(gs) > 0 AND isnotnull(gs)`` below the Generate, and pushing
+    it past the toks projection re-expands the INTERPRETED gram
+    transform (higher-order functions never codegen) 2 extra times per
+    row with ``split(text)`` re-evaluated inside every element_at —
+    measured 15x slower at sf0.1 (10 s vs 0.6 s for the bare gram
+    count). The rule does not fire for outer generates; gs is never
+    empty here (the size >= n filter guarantees it), so the null-row
+    filter is a no-op that exists only to pin equal semantics."""
     return (_word_shingle_arrays(df, n, id_col, text_col, distinct)
-            .select("id", F.explode("gs").alias("g")))
+            .select("id", F.explode_outer("gs").alias("g"))
+            .filter(F.col("g").isNotNull()))
 
 
 def ngram_contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
@@ -435,9 +447,12 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8,
                     F.split(F.col(text_col), " ").alias("toks"))
     toks = F.col("toks")
     # the ONE shared gram builder (same tokenization/indexing as every
-    # other shingle consumer — review finding: no second inline copy)
+    # other shingle consumer — review finding: no second inline copy);
+    # posexplode_OUTER for the InferFiltersFromGenerate reason
+    # documented on _word_shingles (15x measured)
     occ = (_word_shingle_arrays(docs, n, id_col, text_col)
-           .select("id", F.posexplode("gs").alias("p0", "g"))
+           .select("id", F.posexplode_outer("gs").alias("p0", "g"))
+           .filter(F.col("g").isNotNull())
            .select("id", (F.col("p0") + 1).alias("pos"), "g"))
     per_g = (occ.groupBy("g")
              .agg(F.count("*").alias("cnt"),

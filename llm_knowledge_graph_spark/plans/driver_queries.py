@@ -3869,7 +3869,11 @@ def q_doc_novelty_scores(spark, sf_dir):
     from ..operators.dedup import _word_shingle_arrays
     d = _t(spark, sf_dir, "documents")
     base = _word_shingle_arrays(d, 5, "doc_id", "text", distinct=True)
-    sh = base.select("id", F.explode("gs").alias("g"))
+    # explode_outer: InferFiltersFromGenerate re-evaluates the
+    # interpreted gram transform for inner generates (see
+    # dedup._word_shingles — 15x measured)
+    sh = (base.select("id", F.explode_outer("gs").alias("g"))
+          .filter(F.col("g").isNotNull()))
     first = sh.groupBy("g").agg(F.min("id").alias("first_doc"))
     novel = (first.groupBy(F.col("first_doc").alias("doc_id"))
              .agg(F.count("*").alias("n_novel")))
