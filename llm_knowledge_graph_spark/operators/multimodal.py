@@ -109,7 +109,16 @@ def png_encode(arr: np.ndarray, filter_choice=0) -> bytes:
 def _png_decode(data: bytes) -> np.ndarray:
     """Stdlib PNG reader for the encoder's subset of the spec (8-bit
     grey/RGB, non-interlaced) with FULL filter support (types 0-4) and a
-    CRC check per chunk. Returns uint8 (h, w, channels)."""
+    CRC check per chunk. Returns uint8 (h, w, channels).
+
+    Known limitation (round-5 ADVICE): the left-dependent filter rows
+    (Sub/Average/Paeth) unfilter with a per-pixel Python loop over the
+    stride — O(h*w*ch) interpreted Python per image inside the
+    mapInPandas hot path. Acceptable for the bounded synthetic test
+    corpus (24 tiny images); at real-payload scale this operator would
+    swap in libpng/Pillow behind the same UDF signature (the Spark-side
+    plumbing — schema, partitioning, Arrow batch shape — is what this
+    stdlib decoder proves). The None/Up paths are already vectorized."""
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
     ihdr = None

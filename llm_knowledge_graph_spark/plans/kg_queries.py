@@ -71,9 +71,13 @@ def kg_degree_top25(spark, sf_dir):
     SELF-VERIFYING (round 4): the plain groupBy and the salted two-phase
     hot-graph variant (queries.degree_topk_salted) must return the
     identical ranking — two independently-planned computations of the
-    same algebraic aggregate, diffed in-query."""
+    same algebraic aggregate, diffed in-query. The plain result is
+    localCheckpointed so the ranking runs ONCE per side — the gate
+    collect and the driver's re-execution of the returned frame both
+    read the checkpoint instead of re-ranking the full edge set a
+    second and third time (round-5 ADVICE fix)."""
     res = _kg(spark)
-    plain = Q.degree_topk(res.canonical_edges, k=25)
+    plain = Q.degree_topk(res.canonical_edges, k=25).localCheckpoint()
     salted = [(r.id, r.degree) for r in
               Q.degree_topk_salted(res.canonical_edges, k=25).collect()]
     got = [(r.id, r.degree) for r in plain.collect()]
@@ -165,8 +169,17 @@ def kg_minhash_near_dup_docs(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_near_dups
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+    # planted base must be SHINGLEABLE (round-5 ADVICE fix): a doc with
+    # fewer than shingle_words tokens produces no shingles and would
+    # vanish from the minhash output, making the gate raise on a healthy
+    # operator. Require >= 8 non-empty tokens so the one-word-appended
+    # variant keeps Jaccard (T-2)/(T-1) >= 6/7, comfortably above the
+    # 0.5 threshold, on ANY corpus — not just the current long docs 0-19.
+    n_toks = F.size(F.filter(F.split(F.col("text"), " "),
+                             lambda t: t != ""))
     base = (d.filter(F.col("doc_id") < 20)
             .filter(F.col("text").isNotNull())
+            .filter(n_toks >= 8)
             .select("doc_id", "text"))
     planted_ids = [r.doc_id for r in base.select("doc_id").collect()]
     planted = d.unionByName(

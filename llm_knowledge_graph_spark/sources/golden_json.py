@@ -129,16 +129,19 @@ def read_reference_graph_docs(spark: SparkSession, path: str) -> DataFrame:
     gd = (spark.read.schema(REF_GRAPH_DOC_SCHEMA)
           .option("multiLine", "true").json(path))
     # try_element_at, not element_at: under Spark 4 ANSI mode a doc
-    # without a Chunk node would throw on the empty filtered array;
-    # the coalesce below exists to map exactly that case to a null
-    # doc_id instead.
+    # without a Chunk node would throw on the empty filtered array.
+    # nullif(.., ''), not coalesce: regexp_extract returns '' (NOT null)
+    # for a Chunk id that doesn't match chunk_(\d+), and ''.cast('long')
+    # throws under ANSI mode — nullif maps the no-match case to a real
+    # null doc_id (round-5 ADVICE fix; the previous coalesce-with-null
+    # fallback was identity and only worked because every Chunk id in
+    # the pinned artifact matches).
     chunk_id = F.try_element_at(
         F.filter("nodes", lambda n: n["type"] == F.lit("Chunk")), F.lit(1)
     )["id"]
     return gd.select(
-        F.coalesce(
-            F.regexp_extract(chunk_id, r"chunk_(\d+)", 1).cast("long"),
-            F.lit(None).cast("long")).alias("doc_id"),
+        F.nullif(F.regexp_extract(chunk_id, r"chunk_(\d+)", 1),
+                 F.lit("")).cast("long").alias("doc_id"),
         "nodes", "relationships", "source")
 
 

@@ -84,3 +84,27 @@ def test_queryable_through_engine_operators(ref_gd, spark):
     assert len(top) == 5
     assert all(r.degree >= 1 for r in top)
     assert top[0].degree == max(r.degree for r in top)
+
+
+def test_nonmatching_chunk_id_maps_to_null_doc_id(spark, tmp_path):
+    """Round-5 ADVICE fix: a Chunk node id that does not match
+    chunk_(\\d+) must yield a NULL doc_id (nullif path) instead of
+    throwing on ''.cast('long') under Spark 4 ANSI mode; a doc with no
+    Chunk node at all must too (try_element_at path)."""
+    import json
+
+    from llm_knowledge_graph_spark.sources.golden_json import \
+        read_reference_graph_docs
+    docs = [
+        {"nodes": [{"id": "chunk_7", "type": "Chunk", "properties": {}}],
+         "relationships": [], "source": "a"},
+        {"nodes": [{"id": "weird-id", "type": "Chunk", "properties": {}}],
+         "relationships": [], "source": "b"},
+        {"nodes": [{"id": "Alice", "type": "Person", "properties": {}}],
+         "relationships": [], "source": "c"},
+    ]
+    p = tmp_path / "gd.json"
+    p.write_text(json.dumps(docs))
+    got = {r.source: r.doc_id
+           for r in read_reference_graph_docs(spark, str(p)).collect()}
+    assert got == {"a": 7, "b": None, "c": None}
