@@ -123,6 +123,14 @@ def stupid_backoff_bits(train: DataFrame, score: DataFrame,
           .join(uni.select(F.col("w").alias("b"),
                            F.col("c").alias("c_b")), "b", "left")
           .crossJoin(F.broadcast(n_total)))   # 1-row corpus total
+    return _score_backoff_events(ev)
+
+
+def _score_backoff_events(ev: DataFrame) -> DataFrame:
+    """Shared scoring tail of both backoff variants: the Stupid Backoff
+    bits expression over an event stream carrying (id, c_ab, c_a, c_b,
+    n) — ONE definition so the plain three-join form and the
+    head-broadcast form can never drift apart expression-wise."""
     seen = F.col("c_ab").isNotNull()
     backoff = F.col("c_ab").isNull() & F.col("c_b").isNotNull()
     bits = (F.when(seen, _flog2(F.col("c_a")) - _flog2(F.col("c_ab")))
@@ -136,6 +144,80 @@ def stupid_backoff_bits(train: DataFrame, score: DataFrame,
                  F.sum(bits).alias("bits_units"))
             .withColumn("mean_millibits",
                         F.expr("(1000 * bits_units) div n_bigrams")))
+
+
+def stupid_backoff_bits_head_broadcast(train: DataFrame, score: DataFrame,
+                                       id_col: str = "doc_id",
+                                       text_col: str = "text",
+                                       head_k: int = 4096) -> DataFrame:
+    """Zipf-head-broadcast variant of :func:`stupid_backoff_bits`
+    (round 5 — evidences the scale claim in that docstring instead of
+    just asserting it): the top-``head_k`` unigram and bigram count rows
+    (by count, deterministic word tie-break) are BROADCAST, so the
+    ~95 % of scoring events whose grams sit in the Zipf head resolve
+    map-side with no shuffle; only the head-miss residue pays a shuffle
+    join, and it joins only the count TAIL (head keys anti-joined away).
+    Output is bit-identical to the plain three-join form — equality is
+    test-asserted with a tiny head_k so both branches are exercised, and
+    the head joins are plan-asserted to be BroadcastHashJoin.
+
+    Scale shape: uni/bi head extraction is a TakeOrdered over the count
+    aggregates (vocab-sized, never the corpus). The event stream is
+    localCheckpointed once before the three hit/miss splits — the
+    standard persist-before-multi-consumer discipline (each split fans
+    the stream into a matched and a missed branch; without the
+    checkpoint Catalyst would re-derive the explode per branch). At
+    100 TB the checkpoint becomes a persist(DISK) and head_k grows to
+    whatever fits the broadcast budget (a few hundred MB covers the
+    head of web-scale counts — Brants et al.'s sharding trick
+    inverted)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    from ..functions.text import safe_seq
+    pairs = F.transform(
+        safe_seq(F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("a"),
+                           F.element_at(toks, i + 1).alias("b")))
+
+    uni = (train.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    n_total = uni.agg(F.greatest(F.coalesce(F.sum("c"), F.lit(0)),
+                                 F.lit(1)).alias("n"))
+    bi = (train.select(F.explode(pairs).alias("p"))
+          .select("p.a", "p.b")
+          .groupBy("a", "b").agg(F.count("*").alias("c_ab")))
+
+    uni_head = uni.orderBy(F.desc("c"), "w").limit(head_k)
+    bi_head = bi.orderBy(F.desc("c_ab"), "a", "b").limit(head_k)
+    uni_tail = uni.join(F.broadcast(uni_head.select("w")), "w", "left_anti")
+    bi_tail = bi.join(F.broadcast(bi_head.select("a", "b")),
+                      ["a", "b"], "left_anti")
+
+    ev = (score.select(F.col(id_col).alias("id"),
+                       F.explode(pairs).alias("p"))
+          .select("id", "p.a", "p.b")
+          .localCheckpoint())
+
+    def split_join(df, head, tail, keys, val):
+        # head hits resolve through the broadcast; only misses shuffle,
+        # and they join only the anti-joined count tail
+        hit = df.join(F.broadcast(head), keys, "left")
+        matched = hit.filter(F.col(val).isNotNull())
+        missed = (hit.filter(F.col(val).isNull()).drop(val)
+                  .join(tail, keys, "left"))
+        return matched.unionByName(missed)
+
+    ev = split_join(ev, bi_head, bi_tail, ["a", "b"], "c_ab")
+    ev = split_join(
+        ev,
+        uni_head.select(F.col("w").alias("a"), F.col("c").alias("c_a")),
+        uni_tail.select(F.col("w").alias("a"), F.col("c").alias("c_a")),
+        ["a"], "c_a")
+    ev = split_join(
+        ev,
+        uni_head.select(F.col("w").alias("b"), F.col("c").alias("c_b")),
+        uni_tail.select(F.col("w").alias("b"), F.col("c").alias("c_b")),
+        ["b"], "c_b")
+    return _score_backoff_events(ev.crossJoin(F.broadcast(n_total)))
 
 
 def doc_surprisal(docs: DataFrame, id_col: str = "doc_id",

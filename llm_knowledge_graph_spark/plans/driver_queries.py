@@ -2865,6 +2865,29 @@ ORACLE_SQL["doc_backoff_lm"] = """
 SQL_QUERIES["doc_backoff_lm"] = q_doc_backoff_lm
 
 
+def q_doc_backoff_lm_broadcast(spark, sf_dir):
+    """Round-5 Zipf-head-broadcast twin of doc_backoff_lm
+    (surprisal.stupid_backoff_bits_head_broadcast): the top-K unigram/
+    bigram count heads resolve scoring events through a broadcast join
+    (no shuffle for head hits); only head misses join the count tails.
+    head_k=64 on this corpus leaves a real tail, so BOTH the broadcast
+    hit path and the tail miss path execute — and the DuckDB oracle is
+    the SAME SQL as doc_backoff_lm: the execution strategy changes, the
+    answer must not."""
+    from ..operators.surprisal import stupid_backoff_bits_head_broadcast
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    score = d.filter(F.col("doc_id") % 2 == 1)
+    return (stupid_backoff_bits_head_broadcast(train, score, "doc_id",
+                                               "text", head_k=64)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
+ORACLE_SQL["doc_backoff_lm_broadcast"] = ORACLE_SQL["doc_backoff_lm"]
+SQL_QUERIES["doc_backoff_lm_broadcast"] = q_doc_backoff_lm_broadcast
+
+
 def q_cosine_topk_sq8(spark, sf_dir):
     """SQ8-quantized cosine top-10 vs the vec_id=0 query vector: the
     int8 table is 4x smaller to scan and the dot products run in exact

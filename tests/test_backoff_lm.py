@@ -101,3 +101,57 @@ def test_backoff_matches_python_randomized(spark):
     train = [d for d in docs if d[0] % 2 == 0]
     score = [d for d in docs if d[0] % 2 == 1]
     assert _got(spark, train, score) == _py_backoff(train, score)
+
+
+def _got_bcast(spark, train, score, head_k):
+    from llm_knowledge_graph_spark.operators.surprisal import (
+        stupid_backoff_bits_head_broadcast)
+    tdf = spark.createDataFrame(train, "doc_id int, text string")
+    sdf = spark.createDataFrame(score, "doc_id int, text string")
+    return {r.id: (r.n_bigrams, r.n_backoff, r.n_oov, r.bits_units,
+                   r.mean_millibits)
+            for r in stupid_backoff_bits_head_broadcast(
+                tdf, sdf, head_k=head_k).collect()}
+
+
+def test_backoff_head_broadcast_equals_plain(spark):
+    """Round-5 Zipf-head-broadcast variant: bit-identical to the plain
+    three-join form with head_k SMALL (3) so every lookup exercises both
+    the broadcast-head hit path and the tail-join miss path, and with
+    head_k huge (everything in the head, empty tails)."""
+    import random
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    # Zipf-ish skew so a top-3 head really covers most mass
+    def doc():
+        return " ".join(
+            vocab[min(int(rng.expovariate(0.35)), len(vocab) - 1)]
+            for _ in range(rng.randrange(0, 30)))
+    train = [(i, doc()) for i in range(60)]
+    score = [(100 + i, doc() + " zqx unseen") for i in range(40)]
+    exp = _py_backoff(train, score)
+    for head_k in (3, 10 ** 6):
+        assert _got_bcast(spark, train, score, head_k) == exp, head_k
+
+
+def test_backoff_head_broadcast_empty_train(spark):
+    train = [(1, "")]
+    score = [(2, "a b c")]
+    assert _got_bcast(spark, train, score, 8) == _py_backoff(train, score)
+
+
+def test_backoff_head_broadcast_plan_uses_broadcast_joins(spark):
+    """The head joins must be BroadcastHashJoins (the claim the variant
+    exists to evidence); the tail joins remain shuffle joins when the
+    head doesn't cover the vocab."""
+    from llm_knowledge_graph_spark.operators.surprisal import (
+        stupid_backoff_bits_head_broadcast)
+    train = spark.createDataFrame(
+        [(i, "a b c d e f g h " + f"rare{i} tail{i}") for i in range(20)],
+        "doc_id int, text string")
+    score = spark.createDataFrame(
+        [(100, "a b c rare3 zz"), (101, "e f g h tail7")],
+        "doc_id int, text string")
+    out = stupid_backoff_bits_head_broadcast(train, score, head_k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -92,3 +92,35 @@ def test_span_removal_matches_python_randomized(spark):
               for i in range(80)]
     for n in (2, 4, 8):
         assert _got(spark, corpus, n) == _py_remove_spans(corpus, n), n
+
+
+def test_span_removal_except_equals_scan_twin_worst_case(spark):
+    """Round-5 de-quadratic fix: the default array_except/element_at
+    reconstruction must be bit-identical to the original O(L*R)
+    array_contains scan (kept as the independently-planned twin) on the
+    worst case — a corpus where almost every token of every doc is
+    removed (40 copies of the same long doc + partial overlaps), plus
+    edge docs (shorter than n, empty-ish, within-doc repeats)."""
+    from llm_knowledge_graph_spark.operators.dedup import (
+        remove_duplicate_spans)
+    body = " ".join(f"w{i % 37}" for i in range(400))
+    corpus = [(i, body) for i in range(40)]                 # 40x duplicated
+    corpus += [(100 + i, body[: len(body) // 2] + f" uniq{i}")
+               for i in range(5)]                            # half-overlap
+    corpus += [(200, "a b"), (201, "k l m z z k l m"),
+               (202, "unique words only appearing here once")]
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    for n in (3, 8):
+        got = {r.id: (r.n_tokens, r.n_removed, r.clean_md5)
+               for r in remove_duplicate_spans(
+                   df, n=n, reconstruct="except").collect()}
+        twin = {r.id: (r.n_tokens, r.n_removed, r.clean_md5)
+                for r in remove_duplicate_spans(
+                    df, n=n, reconstruct="scan").collect()}
+        assert got == twin, n
+    # the fully-duplicated copies really do lose everything past the
+    # first witness (sanity that the worst case is exercised)
+    assert got[1][1] == got[1][0]
+    # oracle equality on the default path too
+    assert {i: got[i] for i in (200, 201, 202)} == {
+        i: _py_remove_spans(corpus, 8)[i] for i in (200, 201, 202)}
