@@ -56,14 +56,40 @@ def _kg(spark: SparkSession, n_pages: int = _CORPUS_PAGES):
 
 
 def kg_node_counts(spark, sf_dir):
-    """Q2 analogue: per-label node counts (ref check_db_schema.py:23-31)."""
+    """Q2 analogue: per-label node counts (ref check_db_schema.py:23-31).
+    SELF-VERIFYING (round 5): an independently-planned salted two-phase
+    recount (per-(type, salt-of-id) partials summed per type — the same
+    skew discipline as queries.degree_topk_salted) must agree with the
+    plain groupBy, else the query raises."""
     res = _kg(spark)
-    return Q.node_counts(res.canonical_nodes)
+    plain = Q.node_counts(res.canonical_nodes).localCheckpoint()
+    salt = F.pmod(F.xxhash64("id"), F.lit(16)).alias("_salt")
+    partial = (res.canonical_nodes.groupBy("type", salt)
+               .agg(F.count("*").alias("c")))
+    salted = {r.type: r.n for r in
+              partial.groupBy("type").agg(F.sum("c").alias("n")).collect()}
+    got = {r.type: r.n for r in plain.collect()}
+    if got != salted:
+        raise AssertionError(
+            f"plain/salted node-count divergence: {got} != {salted}")
+    return plain
 
 
 def kg_edge_counts(spark, sf_dir):
+    """Per-predicate edge counts. SELF-VERIFYING (round 5): salted
+    two-phase recount diffed against the plain groupBy in-query."""
     res = _kg(spark)
-    return Q.edge_counts(res.canonical_edges)
+    plain = Q.edge_counts(res.canonical_edges).localCheckpoint()
+    salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(16)).alias("_salt")
+    partial = (res.canonical_edges.groupBy("pred", salt)
+               .agg(F.count("*").alias("c")))
+    salted = {r.pred: r.n for r in
+              partial.groupBy("pred").agg(F.sum("c").alias("n")).collect()}
+    got = {r.pred: r.n for r in plain.collect()}
+    if got != salted:
+        raise AssertionError(
+            f"plain/salted edge-count divergence: {got} != {salted}")
+    return plain
 
 
 def kg_degree_top25(spark, sf_dir):
@@ -89,13 +115,42 @@ def kg_degree_top25(spark, sf_dir):
 
 def kg_multi_hop(spark, sf_dir):
     """Q7 analogue: 2-hop neighborhood of the hot entity (resolved to its
-    canonical id through the linking mapping first)."""
+    canonical id through the linking mapping first). SELF-VERIFYING
+    (round 5, VERDICT r4 item 2): the iterative frontier/anti-join
+    traversal is diffed in-query against a depth-UNROLLED two-join twin
+    (hop1 = direct neighbors minus start; hop2 = neighbors-of-hop1 minus
+    hop1 minus start) — the same unrolled-oracle trick as
+    word_communities' LPA twin. Collects are bounded: one entity's
+    2-hop neighborhood on the fixture graph."""
     from ..corpus import HOT_PERSON
     res = _kg(spark)
     hit = (res.mapping.filter(F.col("id") == HOT_PERSON)
            .select("canonical_id").collect())
     start = hit[0].canonical_id if hit else HOT_PERSON
-    return Q.multi_hop(res.canonical_edges, start, depth=2)
+    out = Q.multi_hop(res.canonical_edges, start, depth=2).localCheckpoint()
+    got = {r.id: r.hop for r in out.collect()}
+
+    e = res.canonical_edges.filter(F.col("pred") != "HAS")
+    sym = (e.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+           .unionAll(e.select(F.col("obj").alias("src"),
+                              F.col("subj").alias("dst")))).distinct()
+    h1 = {r.dst for r in
+          sym.filter(F.col("src") == start).select("dst").collect()}
+    h1 -= {start}
+    h2: set = set()
+    if h1:
+        h1_df = spark.createDataFrame([(x,) for x in sorted(h1)],
+                                      "src string")
+        h2 = {r.dst for r in sym.join(F.broadcast(h1_df), "src")
+              .select("dst").distinct().collect()} - h1 - {start}
+    twin = {start: 0, **{x: 1 for x in h1}, **{x: 2 for x in h2}}
+    if got != twin:
+        diff = {k: (got.get(k), twin.get(k))
+                for k in set(got) | set(twin) if got.get(k) != twin.get(k)}
+        raise AssertionError(
+            f"multi-hop vs unrolled-twin divergence on {len(diff)} ids, "
+            f"e.g. {dict(list(diff.items())[:5])}")
+    return out
 
 
 def kg_entity_contains(spark, sf_dir):
@@ -361,12 +416,26 @@ def kg_node_cosine_topk(spark, sf_dir):
     """Q3 over the K4 node vector index (ref query_vector_database
     :1056-1078 against the node Neo4jVector :861-889): embed a probe name
     with the same encoder, top-10 canonical entities by cosine.
-    Rows-only (encoder is not ANSI-SQL)."""
+    Rows-only (encoder is not ANSI-SQL). SELF-VERIFYING (round 5): a
+    planted node whose embedding IS the query vector (cosine exactly
+    1.0, empty type/id so it wins any exact-tie deterministically) must
+    rank 1 over corpus ∪ planted — a broken cosine/ranking path raises
+    instead of shipping plausible rows."""
     from ..operators import embed
     from ..reference_impl import embed_text
     res = _kg(spark)
-    nemb = embed.node_embeddings(res.canonical_nodes)
-    return embed.entity_cosine_topk(nemb, embed_text("John Doe"), k=10)
+    qvec = embed_text("John Doe")
+    nemb = embed.node_embeddings(res.canonical_nodes).localCheckpoint()
+    planted = spark.createDataFrame(
+        [("", "", [float(x) for x in qvec])],
+        nemb.select("type", "id", "embedding").schema)
+    top = embed.entity_cosine_topk(
+        nemb.select("type", "id", "embedding").unionByName(planted),
+        qvec, k=10).collect()
+    if not top or (top[0].type, top[0].id) != ("", ""):
+        raise AssertionError(
+            f"planted self-similar node not rank 1: {top[:3]}")
+    return embed.entity_cosine_topk(nemb, qvec, k=10)
 
 
 def kg_streaming_first_seen(spark, sf_dir):
@@ -564,11 +633,22 @@ def kg_chunk_cosine_topk(spark, sf_dir):
     vector index :245-269): embed a probe string with the same encoder,
     scan the typed array<float> column with a pure JVM cosine expression,
     rank-only top-10. Rows-only (chunking/embedding is not ANSI-SQL);
-    roundtrip + parity proven in tests/test_embeddings_and_gate.py."""
+    roundtrip + parity proven in tests/test_embeddings_and_gate.py.
+    SELF-VERIFYING (round 5): a planted chunk whose embedding IS the
+    query vector (cosine exactly 1.0, empty url / chunk_id -1 so it wins
+    any exact-tie deterministically) must rank 1 over corpus ∪ planted."""
     from ..operators import embed
     from ..reference_impl import embed_text
     res = _kg(spark)
     qvec = embed_text("John Doe works for Acme Corp.")
+    emb = res.chunk_embeddings.select("url", "chunk_id", "embedding")
+    planted = spark.createDataFrame(
+        [("", -1, [float(x) for x in qvec])], emb.schema)
+    top = embed.chunk_cosine_topk(emb.unionByName(planted),
+                                  qvec, k=10).collect()
+    if not top or (top[0].url, top[0].chunk_id) != ("", -1):
+        raise AssertionError(
+            f"planted self-similar chunk not rank 1: {top[:3]}")
     return embed.chunk_cosine_topk(res.chunk_embeddings, qvec, k=10)
 
 
