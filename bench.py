@@ -22,7 +22,7 @@ Cross-round accounting: round 2 added legal_citations +
 doc_classification to the round-1 set; round 3 added doc_filter_funnel,
 bpe_merges, lang_distinct_hll, and doc_bm25_topk (~3-6s combined);
 round 4 added doc_dup_span_removal (~2.4s) and doc_backoff_lm
-(~3.6s) — compare totals across
+(~3.6s); round 5 added doc_backoff_lm_broadcast — compare totals across
 rounds net of the additions, and per-query mins (not totals) for
 drift. Numbers are min-of-N in-process repeats; the
 host itself drifts 25-40%.
@@ -52,6 +52,10 @@ BENCH_SQL = [
     # round-4 additions: ExactSubstr-style corpus rewrite + bigram
     # Stupid Backoff LM scoring
     "doc_dup_span_removal", "doc_backoff_lm",
+    # round-5 addition: Zipf-head-broadcast backoff twin (same answer,
+    # broadcast-hit execution — its delta vs doc_backoff_lm is the
+    # measured cost/benefit of the head/tail split at this scale)
+    "doc_backoff_lm_broadcast",
 ]
 
 
@@ -108,17 +112,33 @@ def main() -> None:
            lambda: minhash_lsh_near_dups(docs, "doc_id", "text").count(),
            timings, samples, n_repeats)
 
-    # drift guard: re-time the first SQL query at session end — if the
-    # session slowed >3x vs its recorded min, flag it in the artifact
-    probe = BENCH_SQL[0]
-    t0 = time.perf_counter()
-    DQ.SQL_QUERIES[probe](spark, sf_dir).collect()
-    probe_t = round(time.perf_counter() - t0, 3)
-    sql_drift_check = {
-        "query": probe, "end_of_session_sec": probe_t,
-        "recorded_min_sec": timings[probe],
-        "drifted_3x": bool(probe_t > 3 * max(timings[probe], 0.05)),
-    }
+    # drift guard (widened round 5 — VERDICT r4 item 4): re-time the
+    # first SQL query PLUS the heaviest queries at session end, so a
+    # recorded-min wobble on any of them (the r4 minhash 2.97->4.12 s
+    # case) is adjudicated by the artifact itself: if end-of-session
+    # fresh times sit within 1.5x of the recorded mins, the recorded
+    # numbers are session-clean; >3x flags contamination.
+    def _probe(name, fn):
+        spark.catalog.clearCache()
+        DQ._BPE_MERGES_CACHE.clear()
+        t0 = time.perf_counter()
+        fn()
+        t = round(time.perf_counter() - t0, 3)
+        rec = timings[name]
+        return {"query": name, "end_of_session_sec": t,
+                "recorded_min_sec": rec,
+                "recorded_within_1_5x_fresh": bool(rec <= 1.5 * t + 0.05),
+                "drifted_3x": bool(t > 3 * max(rec, 0.05))}
+
+    probes = [BENCH_SQL[0], "doc_backoff_lm", "bpe_merges"]
+    sql_drift_check = [
+        _probe(name,
+               lambda name=name: DQ.SQL_QUERIES[name](spark,
+                                                      sf_dir).collect())
+        for name in probes]
+    sql_drift_check.append(_probe(
+        "minhash_near_dup",
+        lambda: minhash_lsh_near_dups(docs, "doc_id", "text").count()))
     spark.stop()
 
     # ---- session 2: the flagship KG construction job ----

@@ -68,3 +68,46 @@ def test_lpa_matches_python_randomized(spark):
                   for _ in range(60)})
     for rounds in (1, 3, 4):
         assert _got(spark, edges, rounds) == _py_lpa(edges, rounds), rounds
+
+
+def test_lpa_communities_refine_connected_components(spark):
+    """Round-5 cross-algorithm invariant (VERDICT r4 item 7): LPA and
+    canonicalization share the iterative-join machinery, and LPA labels
+    can only travel along edges — so every LPA community must sit
+    INSIDE exactly one connected component, at every round count, on a
+    graph with several components and internal sub-structure."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from llm_knowledge_graph_spark.operators.components import (
+        connected_components, label_propagation)
+    rng = random.Random(7)
+    edges = []
+    # 4 disjoint clumps of 12 nodes each, each clump two dense halves
+    # joined by a single bridge (so LPA finds sub-communities)
+    for c in range(4):
+        ids = [f"c{c}n{i:02d}" for i in range(12)]
+        for half in (ids[:6], ids[6:]):
+            for _ in range(14):
+                a, b = rng.sample(half, 2)
+                edges.append((a, b))
+        edges.append((ids[0], ids[6]))  # bridge
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comp = {r.id: r.component for r in connected_components(
+        df.select(F.col("src").alias("id")).unionAll(
+            df.select(F.col("dst").alias("id"))).distinct(),
+        df.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ).collect()}
+    for rounds in (1, 3, 5):
+        labels = {r.id: r.community
+                  for r in label_propagation(df, rounds=rounds).collect()}
+        assert set(labels) == set(comp)
+        by_community = {}
+        for node, lab in labels.items():
+            by_community.setdefault(lab, set()).add(comp[node])
+        bad = {l: cs for l, cs in by_community.items() if len(cs) > 1}
+        assert not bad, f"communities spanning components: {bad}"
+    # and the graph really has 4 components / more than 4 communities
+    assert len(set(comp.values())) == 4
+    assert len(set(labels.values())) >= 4
