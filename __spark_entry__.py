@@ -67,43 +67,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # recorded backlog is drained), and changed code always re-records
 # immediately.
 _FRONT = [
-    # (a) never driver-recorded: the round-3 additions past the r3
-    # budget line (_R4_PRIORITY then; all 14 verified by the local
-    # DuckDB gate in r3 and re-verified this round)
-    "doc_paragraph_dedup", "vocab_growth", "zipf_band_histogram",
-    "word_kcore", "crawl_snapshot_diff", "events_zorder_pruning",
-    "events_stream_enriched", "word_ppr_topk",
-    "events_salted_join_rollup", "events_hour_type_pivot",
-    "doc_length_hist_quantiles", "kg_edge_fusion",
-    "word_negative_samples", "doc_containment_pairs",
-    # (b) new in round 4 ...
-    "word_degree_salted",          # salted degree, oracled
-    "kg_multimodal_real_decode",   # real PNG/PPM/WAV decode, self-verifying
-    "golden_artifact_stats",       # hash-oracled vs the REAL reference file
-    "doc_novelty_scores",          # first-witness n-gram novelty, oracled
-    "doc_dup_span_removal",        # ExactSubstr-style span removal, oracled
-    "doc_backoff_lm",              # Stupid Backoff bigram LM, oracled
-    "word_communities",            # synchronous LPA, 4-round unrolled oracle
-    # ... and changed in round 4 (now self-verifying in-query)
-    "kg_ann_lsh_topk", "kg_ann_ivf_topk", "kg_minhash_near_dup_docs",
-    "kg_simhash_pairs", "kg_cosine_near_dup_lsh",
-    "kg_streaming_lang_counts", "kg_streaming_first_seen",  # batch twins
-    # (c) stale: last recorded in round 2 — the 11 kg_* rows-only
-    # queries first (VERDICT r3 item 6), then r2-only SQL queries
-    "kg_schema_labels", "kg_schema_detect", "kg_question_svo",
-    "kg_validation_report", "kg_chunk_cosine_topk", "kg_node_cosine_topk",
-    "kg_node_counts", "kg_edge_counts", "kg_degree_top25", "kg_multi_hop",
-    "kg_entity_contains",
-    "cosine_near_dup_pairs", "cosine_topk", "doc_classification",
-    "doc_exact_dedup", "doc_fingerprint", "doc_lang_counts",
-    "doc_lang_id", "doc_quality", "doc_regex_tokens",
-    "doc_stopword_ratio", "doc_token_stats", "doc_winnow_fingerprint",
-    "events_json_extract", "events_latest_per_user",
-]
-# r2-only queries that did not fit the 50 _FRONT slots — ROUND 5: these
-# head the rotation (promote into _FRONT), followed by the round-3/4
-# recorded queries as their evidence turns two rounds old.
-_R5_PRIORITY = [
+    # (a) never driver-recorded: none left — every query on the surface
+    # has a driver row in some round (VERDICT r4 bookkeeping).
+    # (b) NEW or CHANGED in round 5, re-recorded immediately:
+    "doc_backoff_lm_broadcast",    # NEW: Zipf-head-broadcast LM twin
+    "doc_dup_span_removal",        # CHANGED: O(L+R) array_except rebuild
+    "doc_backoff_lm",              # CHANGED: shared scoring-tail refactor
+    "golden_artifact_stats",       # CHANGED: nullif doc_id fallback
+    "kg_minhash_near_dup_docs",    # CHANGED: shingleable planted gate
+    "kg_degree_top25",             # CHANGED: checkpointed single-compute
+    # ... and the five kg queries made self-verifying this round
+    "kg_multi_hop", "kg_node_counts", "kg_edge_counts",
+    "kg_chunk_cosine_topk", "kg_node_cosine_topk",
+    # (c) stale: last recorded in round 2 (the promoted _R5_PRIORITY
+    # backlog plus the two r2-latest stragglers) — after this round no
+    # query's evidence is older than round 3
     "events_hourly_stream_counts", "events_stream_sessions",
     "events_type_stats", "knn_join", "legal_citations",
     "legal_dates_amounts", "legal_definitions", "legal_obligations",
@@ -113,12 +91,37 @@ _R5_PRIORITY = [
     "part_type_counts", "pricing_summary", "region_revenue",
     "ship_delay_stats", "top_customers", "urgent_and_high_customers",
     "user_session_windows", "word_cooccurrence",
+    "order_priority_counts", "nations_without_suppliers",
+    # (d) oldest of the round-3-latest set (two rounds old now), filling
+    # the remaining budget slots oldest-first
+    "bpe_compression", "bpe_merges", "brand_revenue_salted",
+    "cosine_topk_sq8", "doc_blocklist_bloom", "doc_bm25_topk",
+    "doc_decontamination", "doc_dup_span_mass", "doc_filter_funnel",
+    "doc_hybrid_rrf", "doc_length_quantiles", "doc_pack_bins",
+    "doc_pii_redaction", "doc_repetition_stats", "doc_semantic_dedup",
+    "doc_shingle_components",
+]
+# round-3-latest queries that did not fit the 50 _FRONT slots — ROUND 6:
+# these head the rotation, followed by the round-4/5 recorded queries as
+# their evidence turns two rounds old.
+_R6_PRIORITY = [
+    "doc_stratified_sample", "doc_surprisal_topk",
+    "doc_taxonomy_classification", "doc_train_split",
+    "domain_cap_rollup", "dup_cluster_histogram",
+    "events_asof_purchase", "events_funnel", "events_hopping_counts",
+    "events_range_join", "kg_canonical_star", "kg_incremental_merge",
+    "kg_linking_mapping", "kg_multimodal_features", "kg_schema_samples",
+    "label_centroid_norms", "lang_distinct_hll",
+    "lang_temperature_weights", "legal_parties",
+    "quality_threshold_sweep", "url_dup_stats", "user_sessions",
+    "word_bfs_distances", "word_cms_topk", "word_graph_stats",
+    "word_link_prediction", "word_pagerank",
 ]
 # middle (insertion order of the query dicts): everything recorded in
-# round 3 — fresh evidence, deliberately past the budget line.
+# round 4 — fresh evidence, deliberately past the budget line.
 _TAIL = [
-    # hash-green in rounds 1 AND 2, untouched since:
-    "order_priority_counts", "nations_without_suppliers",
+    # freshest round-4 hash-green evidence, code untouched this round:
+    "word_communities", "doc_novelty_scores",
 ]
 
 
@@ -134,7 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _FRONT:
         out[name] = pool.pop(name)
-    for name in _R5_PRIORITY:      # right after the budget line
+    for name in _R6_PRIORITY:      # right after the budget line
         out[name] = pool.pop(name)
     tail = {name: pool.pop(name) for name in _TAIL}
     out.update(pool)

@@ -17,14 +17,14 @@ def test_rotation_lists_resolve_and_partition():
     qs = E.queries()
     names = list(qs)
     assert len(names) == len(set(names))
-    # budgeted order: _FRONT verbatim, then _R5_PRIORITY verbatim
+    # budgeted order: _FRONT verbatim, then _R6_PRIORITY verbatim
     assert names[:len(E._FRONT)] == E._FRONT
-    assert (names[len(E._FRONT):len(E._FRONT) + len(E._R5_PRIORITY)]
-            == E._R5_PRIORITY)
+    assert (names[len(E._FRONT):len(E._FRONT) + len(E._R6_PRIORITY)]
+            == E._R6_PRIORITY)
     # _TAIL really is the tail
     assert names[-len(E._TAIL):] == E._TAIL
     # the three lists never overlap
-    listed = E._FRONT + E._R5_PRIORITY + E._TAIL
+    listed = E._FRONT + E._R6_PRIORITY + E._TAIL
     assert len(listed) == len(set(listed))
 
 
