@@ -43,3 +43,14 @@ def kg_result(spark, pages_df):
 def oracle_graph(fixture_pages):
     from llm_knowledge_graph_spark.reference_impl import reference_pipeline
     return reference_pipeline(fixture_pages)
+
+
+def pytest_collection_modifyitems(items):
+    """Round 5 (VERDICT r4 item 6): every test not explicitly marked
+    `heavy` is `core`, so the driver's smoke loop can run the fast gate
+    (`pytest -m core`, <90 s) before the full 8-9 min suite. Marking is
+    additive — `pytest tests/` still runs everything."""
+    import pytest as _pytest
+    for item in items:
+        if item.get_closest_marker("heavy") is None:
+            item.add_marker(_pytest.mark.core)

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.heavy  # round-5 core/heavy split
+
+
 # every SQL_QUERIES entry whose only table is `documents`
 DOC_ONLY_QUERIES = [
     "doc_lang_counts", "doc_token_stats", "doc_exact_dedup",

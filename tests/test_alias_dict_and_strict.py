@@ -1,9 +1,12 @@
 """Alias-dictionary linking path + strict-mode schema enforcement in the
 Spark pipeline (N9 + the north rule's broadcast alias dictionary)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
+@pytest.mark.heavy
 def test_alias_dictionary_links(spark):
     from llm_knowledge_graph_spark.operators.linking import alias_dictionary_links
     entities = spark.createDataFrame(
@@ -17,6 +20,7 @@ def test_alias_dictionary_links(spark):
     assert {(r.a, r.b) for r in links} == {("Big Blue", "Ibm")}
 
 
+@pytest.mark.heavy
 def test_alias_dictionary_cosine_gate(spark):
     """With an `embedding` column the dictionary link is cosine-gated:
     a name whose deterministic embedding matches the canonical vector
@@ -42,6 +46,7 @@ def test_alias_dictionary_cosine_gate(spark):
                                            ("Globex Inc", "Acme Corp")}
 
 
+@pytest.mark.heavy
 def test_pipeline_with_alias_dict_merges_curated_aliases(spark, pages_df):
     from llm_knowledge_graph_spark.config import PipelineConfig
     from llm_knowledge_graph_spark.plans.pipeline import build_kg
@@ -57,6 +62,7 @@ def test_pipeline_with_alias_dict_merges_curated_aliases(spark, pages_df):
     assert "Globex Inc" not in ids and "Acme Corp" in ids
 
 
+@pytest.mark.heavy
 def test_pipeline_strict_mode(spark, pages_df):
     from llm_knowledge_graph_spark.config import PipelineConfig
     from llm_knowledge_graph_spark.plans.pipeline import build_kg
@@ -78,6 +84,7 @@ def test_pipeline_strict_mode(spark, pages_df):
         assert (r.obj_type, r.obj) in node_keys
 
 
+@pytest.mark.heavy
 def test_one_sided_strict_filter_leaves_other_dimension_unrestricted(
         spark, pages_df):
     """allowed_entities WITHOUT allowed_relationships must not drop every

@@ -17,6 +17,7 @@ def corpus_and_query(spark):
     return e.filter(F.col("vec_id") != 0), qvec
 
 
+@pytest.mark.heavy
 def test_gate_raises_on_degraded_ann(spark, corpus_and_query):
     from llm_knowledge_graph_spark.plans.kg_queries import \
         _assert_planted_ann_recall
@@ -31,6 +32,7 @@ def test_gate_raises_on_degraded_ann(spark, corpus_and_query):
                                    label="degraded")
 
 
+@pytest.mark.heavy
 def test_gate_passes_on_healthy_paths(spark, corpus_and_query):
     from llm_knowledge_graph_spark.operators.similarity import (ivf_ann_topk,
                                                                 lsh_ann_topk)

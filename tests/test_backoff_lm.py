@@ -6,6 +6,8 @@ value-verified against a DuckDB oracle on the real documents table."""
 
 from __future__ import annotations
 
+import pytest
+
 ALPHA_BITS = 1
 
 
@@ -73,6 +75,7 @@ def test_backoff_three_branches(spark):
     assert got[5][2] >= 1                         # oov fired
 
 
+@pytest.mark.heavy
 def test_backoff_empty_tokens_and_empty_train(spark):
     # consecutive spaces: both engines must pair the SAME survivor
     # sequence (review finding: an empty token present in the bigram
@@ -91,6 +94,7 @@ def test_backoff_empty_tokens_and_empty_train(spark):
     assert got0 == {1: (2, 0, 2, 4, 2000)} == _py_backoff([], [(1, "x y z")])
 
 
+@pytest.mark.heavy
 def test_backoff_matches_python_randomized(spark):
     import random
     rng = random.Random(23)
@@ -114,6 +118,7 @@ def _got_bcast(spark, train, score, head_k):
                 tdf, sdf, head_k=head_k).collect()}
 
 
+@pytest.mark.heavy
 def test_backoff_head_broadcast_equals_plain(spark):
     """Round-5 Zipf-head-broadcast variant: bit-identical to the plain
     three-join form with head_k SMALL (3) so every lookup exercises both
@@ -134,12 +139,14 @@ def test_backoff_head_broadcast_equals_plain(spark):
         assert _got_bcast(spark, train, score, head_k) == exp, head_k
 
 
+@pytest.mark.heavy
 def test_backoff_head_broadcast_empty_train(spark):
     train = [(1, "")]
     score = [(2, "a b c")]
     assert _got_bcast(spark, train, score, 8) == _py_backoff(train, score)
 
 
+@pytest.mark.heavy
 def test_backoff_head_broadcast_plan_uses_broadcast_joins(spark):
     """The head joins must be BroadcastHashJoins (the claim the variant
     exists to evidence); the tail joins remain shuffle joins when the

@@ -4,6 +4,8 @@ non-overlapping sweep as Spark's and DuckDB's replace)."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from llm_knowledge_graph_spark.operators.bpe import (bpe_merges,
@@ -29,6 +31,7 @@ def _python_bpe(word_freq, n_merges):
     return out
 
 
+@pytest.mark.heavy
 def test_bpe_merges_match_python_replica(spark):
     wf = {"hello": 2, "hell": 1, "llll": 1, "lo": 3, "中文": 2, "a.b": 1}
     words = spark.createDataFrame(list(wf.items()), "word string, freq long")
@@ -39,6 +42,7 @@ def test_bpe_merges_match_python_replica(spark):
     assert any(l == "l" and r == "l" for _, l, r, _ in got)
 
 
+@pytest.mark.heavy
 def test_word_frequencies_and_full_corpus_merges(spark):
     docs = spark.createDataFrame(
         [(1, "the cat the cat"), (2, "the hat")], "doc_id long, text string")

@@ -8,9 +8,11 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
 from pyspark.sql import functions as F
 
 
+@pytest.mark.heavy
 def test_bucketed_graph_join_has_no_exchange(spark, tmp_path):
     from llm_knowledge_graph_spark.operators.materialize import \
         write_graph_bucketed_tables

@@ -1,3 +1,7 @@
+
+import pytest
+
+pytestmark = pytest.mark.heavy  # round-5 core/heavy split
 """North-rule: resumable per-partition checkpoints.
 
 Kill-and-resume: a run interrupted after some buckets must, on resume,

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_keyword_classifier_precedence_and_confidence(spark):
     from llm_knowledge_graph_spark.operators.classify import keyword_classify
@@ -41,6 +43,7 @@ def test_format_response_shapes(spark):
     assert "1. {'id': 'X'}" in out3
 
 
+@pytest.mark.heavy
 def test_reference_taxonomy_classifier(spark):
     """E11 with the reference's REAL taxonomies (TYP_PREDPISU.md legislation
     types, CLENENIE_PRAVA.md legal areas; response shape code/prompts.py

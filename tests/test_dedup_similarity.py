@@ -29,6 +29,7 @@ def test_exact_dedup(docs):
     assert ids == {0, 2, 3, 4, 5}  # min doc_id representative survives
 
 
+@pytest.mark.heavy
 def test_minhash_lsh_near_dups(docs):
     from llm_knowledge_graph_spark.operators.dedup import minhash_lsh_near_dups
     pairs = {(r.a, r.b) for r in
@@ -40,6 +41,7 @@ def test_minhash_lsh_near_dups(docs):
     assert not any(a == 3 or b == 3 for a, b in pairs)  # unrelated not linked
 
 
+@pytest.mark.heavy
 def test_ngram_jaccard_exact_values(docs):
     from llm_knowledge_graph_spark.operators.dedup import ngram_jaccard_pairs
     got = {(r.a, r.b): r.jaccard for r in
@@ -48,6 +50,7 @@ def test_ngram_jaccard_exact_values(docs):
     assert got[(0, 1)] == 1.0
 
 
+@pytest.mark.heavy
 def test_simhash_near_dups(docs):
     from llm_knowledge_graph_spark.operators.dedup import simhash_near_dups
     pairs = {(r.a, r.b): r.hamming for r in
@@ -85,6 +88,7 @@ def test_brute_force_topk_and_lsh_ann(spark):
     assert len(set(ann_ids) & brute15) >= 3
 
 
+@pytest.mark.heavy
 def test_knn_join_rank_contract(spark):
     from llm_knowledge_graph_spark.operators.similarity import knn_join
     rows = [(i, [float(i == d) for d in range(4)]) for i in range(4)]
@@ -124,6 +128,7 @@ def test_multimodal_real_decode_rejects_opaque_payloads(spark):
         extract_features(synthesize_media(spark, n=3), fake=False).collect()
 
 
+@pytest.mark.heavy
 def test_lsh_cosine_near_dup_recall_on_exact_dups(spark):
     """Exact-duplicate vectors share every LSH table bucket — recall 1.0
     by construction; exact cosine verify scores them 1.0."""
@@ -170,6 +175,7 @@ def _recall(approx_df, truth_df):
     return len(a & t) / len(t)
 
 
+@pytest.mark.heavy
 def test_lsh_ann_topk_recall(planted_embeddings):
     """Multi-table LSH top-k must recall ≥ 0.9 of the true top-10 on the
     planted fixture (single-table single-probe — the round-1 design —
@@ -185,6 +191,7 @@ def test_lsh_ann_topk_recall(planted_embeddings):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+@pytest.mark.heavy
 def test_ivf_ann_topk_recall(planted_embeddings):
     """k-means-trained IVF with 4/16 probes must recall ≥ 0.9 of the true
     top-10 on the planted fixture."""
@@ -199,6 +206,7 @@ def test_ivf_ann_topk_recall(planted_embeddings):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+@pytest.mark.heavy
 def test_ivf_training_sample_is_id_blind(spark):
     """Round-3 regression: ids correlate with cluster (crawl order ≈ site ≈
     topic) — ids 0-999 are cluster A, 1000-1999 cluster B, and the training
@@ -239,6 +247,7 @@ def test_ivf_training_sample_is_id_blind(spark):
     assert len(approx & truth) / len(truth) >= 0.9
 
 
+@pytest.mark.heavy
 def test_ivf_centroids_deterministic_and_balanced(planted_embeddings):
     """Training is RNG-free: two runs give identical centroids; centroids
     are unit-norm and non-degenerate (more than one distinct cell used)."""
@@ -257,6 +266,7 @@ def test_ivf_centroids_deterministic_and_balanced(planted_embeddings):
     assert len(cells) >= 8  # spread across cells, not collapsed
 
 
+@pytest.mark.heavy
 def test_multimodal_resize_and_frame_sample(spark):
     """Resize + frame-sample plumbing: typed schemas, kind filtering,
     deterministic fake payloads, 1→N frame fan-out matching duration."""
@@ -317,6 +327,7 @@ def test_minhash_collapse_exact_avoids_pair_blowup(spark):
     assert len(pairs) == 100                              # 99 + 1, not 4951
 
 
+@pytest.mark.heavy
 def test_ivf_persisted_index_prunes_partitions(spark, tmp_path, planted_embeddings):
     """Round 3: the MATERIALIZED IVF index (cell-partitioned parquet).
     Query answers must equal the inline ivf_ann_topk (same deterministic

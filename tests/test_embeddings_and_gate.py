@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -55,6 +57,7 @@ def test_chunk_cosine_topk_selfhit(spark, kg_result):
         (probe["url"], probe["chunk_id"])
 
 
+@pytest.mark.heavy
 def test_confidence_gate_commits_and_blocks(spark, pages_df, tmp_path):
     """Both V4 gate outcomes (ref legal_graphrag.py:619-626): the fixture
     corpus validates clean (confidence 1.0 ≥ 0.99 → commit); an impossible
@@ -98,6 +101,7 @@ def test_validation_scores_empty_classes_score_one(spark):
     assert abs(s["confidence"] - (1 + 1 + 2 / 5) / 3) < 1e-9
 
 
+@pytest.mark.heavy
 def test_node_and_relationship_embeddings(spark, kg_result):
     """K4 node/relationship vector indexes: exact-name probe ranks the
     entity itself first (encoder determinism ⇒ cosine 1.0); relationship

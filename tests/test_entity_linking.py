@@ -4,6 +4,8 @@ Alias fixtures with known coreference clusters; connected components must
 produce exactly the expected partition of entity ids, idempotently.
 """
 
+import pytest
+
 from collections import defaultdict
 
 from pyspark.sql import functions as F
@@ -49,6 +51,7 @@ def test_canonical_id_is_cluster_member_minimum(kg_result):
         assert canon == min(ids | {canon})
 
 
+@pytest.mark.heavy
 def test_connected_components_chain_and_star(spark):
     from llm_knowledge_graph_spark.operators.components import connected_components
 
@@ -64,6 +67,7 @@ def test_connected_components_chain_and_star(spark):
                     "e": "e", "f": "e", "g": "e", "h": "e", "z": "z"}
 
 
+@pytest.mark.heavy
 def test_connected_components_idempotent(spark):
     from llm_knowledge_graph_spark.operators.components import connected_components
 
@@ -74,6 +78,7 @@ def test_connected_components_idempotent(spark):
     assert first == second == [("w", "w"), ("x", "w"), ("y", "w")]
 
 
+@pytest.mark.heavy
 def test_star_contraction_matches_label_propagation(spark):
     """connected_components_star ≡ connected_components on chain + star +
     isolated; and star handles a 100-node chain (diameter 99) within its
@@ -101,6 +106,7 @@ def test_star_contraction_matches_label_propagation(spark):
     assert got == {i: "n000" for i in ids}
 
 
+@pytest.mark.heavy
 def test_canonical_mapping_driver_vs_distributed(spark):
     """The driver union-find fast path and the distributed checkpointed
     min-label propagation produce the SAME mapping (driver_threshold=0

@@ -6,6 +6,8 @@
   ties; we hold exact equality).
 """
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -72,6 +74,7 @@ def test_node_properties_match_oracle(kg_result, oracle_graph):
         assert dict(r.properties or {}) == gp, (r.type, r.id)
 
 
+@pytest.mark.heavy
 def test_property_merge_order_regression(spark):
     """Round-3 regression: colliding edge property across pages.
 
@@ -117,6 +120,7 @@ def test_property_merge_order_regression(spark):
     assert (row[0].url, row[0].chunk_id) == (g_edge["url"], g_edge["chunk_id"])
 
 
+@pytest.mark.heavy
 def test_within_chunk_duplicate_key_is_deterministic(spark):
     """Review finding (round 3): ONE chunk emitting the same edge key twice
     with conflicting property values used to tie in the engine's max_by
@@ -165,6 +169,7 @@ def test_edge_properties_and_lineage(kg_result, oracle_graph):
         assert (r.url, r.chunk_id) == (gp[1], gp[2]), key
 
 
+@pytest.mark.heavy
 def test_empty_and_tiny_corpus_parity(spark):
     """build_kg must survive a 0-page corpus (the incremental-ingest
     empty-batch case) and match the Python oracle on corpora where the

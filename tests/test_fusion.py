@@ -4,6 +4,8 @@ against a plain-Python twin on a hand-built occurrence table."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 
@@ -53,6 +55,7 @@ def py_fuse(rows):
     return res
 
 
+@pytest.mark.heavy
 def test_fusion_matches_python_twin(spark):
     from llm_knowledge_graph_spark.operators.fusion import fuse_edges
     got = {(r.subj, r.subj_type, r.pred, r.obj, r.obj_type):
@@ -79,6 +82,7 @@ def test_fusion_election_details(spark):
     assert dict(s.properties) == {} and s.n_conflicts == 0
 
 
+@pytest.mark.heavy
 def test_fusion_on_pipeline_corpus(spark):
     """End-to-end: fuse the extractor's occurrence edges from the fixture
     corpus; support totals must reconcile with occurrence rows."""
@@ -97,6 +101,7 @@ def test_fusion_on_pipeline_corpus(spark):
         "subj", "subj_type", "pred", "obj", "obj_type").distinct().count()
 
 
+@pytest.mark.heavy
 def test_fusion_state_folds_exactly(spark):
     """Incremental form: fusion_answer(fusion_fold(state(A) ∪ state(B)))
     must equal fuse_edges(A ∪ B) — including the lossy case where the

@@ -1,6 +1,7 @@
 """North-star theme 3: graph edge counts (mirrors the reference's
 check_db_schema.py:19-61 count assertions)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -34,6 +35,7 @@ def test_chunk_node_count_equals_chunk_count(kg_result):
     assert n_chunk_nodes == n_chunks
 
 
+@pytest.mark.heavy
 def test_canonical_edges_no_dangling_entities(kg_result):
     """Every canonical edge endpoint exists in canonical nodes."""
     nodes = kg_result.canonical_nodes.select(
@@ -48,6 +50,7 @@ def test_canonical_edges_no_dangling_entities(kg_result):
     assert dangling_obj.count() == 0
 
 
+@pytest.mark.heavy
 def test_metrics_table(kg_result):
     from llm_knowledge_graph_spark.operators.materialize import graph_metrics
     m = {(r.kind, r.key): r.n for r in

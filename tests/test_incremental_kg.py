@@ -3,6 +3,10 @@ build exactly (streaming/ingest.py round-3 additions)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # round-5 core/heavy split
+
 from pyspark.sql import functions as F
 
 

@@ -10,6 +10,10 @@ sessions in one process (stop A, start B, observe A's entry evicted).
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # round-5 core/heavy split
+
 import subprocess
 import sys
 import textwrap

@@ -8,6 +8,8 @@ unrolled DuckDB oracle on the real documents table."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter, defaultdict
 
 
@@ -51,6 +53,7 @@ def test_lpa_recovers_planted_communities(spark):
     assert len({got["a"], got["x"]}) == 2
 
 
+@pytest.mark.heavy
 def test_lpa_bipartite_bound_is_the_semantics(spark):
     # a 2-path oscillates under synchronous updates: round counts with
     # different parity give different (both valid, both deterministic)
@@ -60,6 +63,7 @@ def test_lpa_bipartite_bound_is_the_semantics(spark):
         assert _got(spark, edges, rounds) == _py_lpa(edges, rounds), rounds
 
 
+@pytest.mark.heavy
 def test_lpa_matches_python_randomized(spark):
     import random
     rng = random.Random(31)
@@ -70,6 +74,7 @@ def test_lpa_matches_python_randomized(spark):
         assert _got(spark, edges, rounds) == _py_lpa(edges, rounds), rounds
 
 
+@pytest.mark.heavy
 def test_lpa_communities_refine_connected_components(spark):
     """Round-5 cross-algorithm invariant (VERDICT r4 item 7): LPA and
     canonicalization share the iterative-join machinery, and LPA labels

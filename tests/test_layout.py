@@ -78,6 +78,7 @@ def _footer_ranges(path, cols):
     return out
 
 
+@pytest.mark.heavy
 def test_zorder_write_footers_are_rectangles(spark, tmp_path):
     # 128x64 grid: u in [0,128), t in [0,64) — every (u,t) cell once
     rows = [(i, i % 128, i // 128) for i in range(128 * 64)]
@@ -106,6 +107,7 @@ def test_zorder_write_footers_are_rectangles(spark, tmp_path):
     assert mean_extent(zr, "t") < 40
 
 
+@pytest.mark.heavy
 def test_cluster_files_pruning_order(spark):
     """On the sf0.001 events table the driver query's invariant holds:
     z-order touches fewer files than the adversarial linear sort on

@@ -4,9 +4,12 @@ edge with the head; and the hash sampler is deterministic."""
 
 from __future__ import annotations
 
+import pytest
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.mark.heavy
 def test_negative_sample_invariants(spark):
     from llm_knowledge_graph_spark.plans.driver_queries import (
         SQL_QUERIES, _word_edges, _t)

@@ -9,6 +9,8 @@ within-window ordering constraints on the sf0.001 events table.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from llm_knowledge_graph_spark.operators.packing import (
@@ -64,6 +66,7 @@ def test_temperature_weights_invariants(spark):
         assert isinstance(r.share_ppm, int) and isinstance(r.weight_ppm, int)
 
 
+@pytest.mark.heavy
 def test_temperature_resample_invariants(spark):
     from llm_knowledge_graph_spark.operators.packing import (
         temperature_resample, temperature_sample_rates)
@@ -112,6 +115,7 @@ def test_temperature_zero_share_and_100tb_totals(spark):
     assert 0 < rates["big"] < rates["tiny"]
 
 
+@pytest.mark.heavy
 def test_events_funnel_monotone_and_windowed(spark):
     from llm_knowledge_graph_spark.plans.driver_queries import (
         q_events_funnel)

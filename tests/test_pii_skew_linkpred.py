@@ -3,6 +3,8 @@ duplicated-span mass, salted two-phase aggregation, hopping windows."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -107,6 +109,7 @@ def test_hopping_window_multiplicity(spark):
     assert starts == ["08:30", "09:00", "09:30", "10:00"]
 
 
+@pytest.mark.heavy
 def test_link_prediction_ra_random_graphs_property(spark):
     """Randomized cross-check of the Spark RA wedge-join against a
     plain-Python oracle (fixed seeds — deterministic)."""

@@ -4,6 +4,8 @@ nodes unreachable from the seeds, and seed-proximity ordering."""
 
 from __future__ import annotations
 
+import pytest
+
 
 def ppr_py(edges, seeds, n_iter=8, damping_pct=85, scale=10 ** 12):
     """Plain-Python twin with the identical integer arithmetic."""
@@ -40,18 +42,21 @@ def _spark_ppr(spark, seeds, n_iter=8):
             for r in personalized_pagerank_exact(e, s, n_iter).collect()}
 
 
+@pytest.mark.heavy
 def test_ppr_matches_python_twin(spark):
     got = _spark_ppr(spark, ["a"])
     want = ppr_py(EDGES, ["a"])
     assert got == want
 
 
+@pytest.mark.heavy
 def test_ppr_unreachable_component_zero(spark):
     got = _spark_ppr(spark, ["a"])
     assert got["x"] == 0 and got["y"] == 0
     assert got["a"] > 0 and got["b"] > 0
 
 
+@pytest.mark.heavy
 def test_ppr_mass_bounded_and_seed_heavy(spark):
     got = _spark_ppr(spark, ["a"])
     # integer floor division only loses mass — never exceeds scale
@@ -60,6 +65,7 @@ def test_ppr_mass_bounded_and_seed_heavy(spark):
     assert got["a"] > got["d"]
 
 
+@pytest.mark.heavy
 def test_ppr_two_seeds_split(spark):
     got = _spark_ppr(spark, ["a", "x"])
     want = ppr_py(EDGES, ["a", "x"])
@@ -68,6 +74,7 @@ def test_ppr_two_seeds_split(spark):
     assert got["x"] > 0 and got["y"] > 0
 
 
+@pytest.mark.heavy
 def test_ppr_isolated_seed_keeps_teleport_share(spark):
     # Regression: a seed that is not an edge endpoint must still appear
     # in the output holding its own 1/ns restart mass — the old node

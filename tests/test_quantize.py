@@ -4,6 +4,8 @@ brute-force baseline on the real sf0.001 embeddings table."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -66,6 +68,7 @@ def test_quantized_dot_is_exact_integer(spark):
                                for a, b in zip(qv, probe)), vid
 
 
+@pytest.mark.heavy
 def test_quantized_topk_recall_vs_float_baseline(spark):
     """Recall@10 of the int8 path vs the float brute force must be >= 0.9
     on the real embeddings table (standard SQ8 quality bar), and the
@@ -89,6 +92,7 @@ def test_quantized_topk_recall_vs_float_baseline(spark):
         assert -1.0001 <= r.score <= 1.0001
 
 
+@pytest.mark.heavy
 def test_query_quantization_rounds_half_up_like_stored_rows(spark):
     """Regression: the query vector must quantize with the SAME rounding
     mode as the stored rows (F.round = HALF_UP, away from zero) — not

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 
+@pytest.mark.heavy
 def test_graph_schema_introspection(spark, kg_result):
     from llm_knowledge_graph_spark.plans.queries import graph_schema
     s = graph_schema(kg_result.canonical_nodes, kg_result.canonical_edges)
@@ -14,6 +15,7 @@ def test_graph_schema_introspection(spark, kg_result):
     assert s["sample_nodes"].count() <= 10
 
 
+@pytest.mark.heavy
 def test_degree_topk_excludes_has(kg_result):
     from llm_knowledge_graph_spark.plans.queries import degree_topk
     top = degree_topk(kg_result.canonical_edges, k=10)
@@ -27,6 +29,7 @@ def test_degree_topk_excludes_has(kg_result):
     assert degs == sorted(degs, reverse=True)
 
 
+@pytest.mark.heavy
 def test_degree_topk_salted_equals_plain(kg_result, spark):
     """The hot-graph salted variant (round 4): bit-identical result to
     the plain groupBy, with the phase-1 exchange actually partitioned on
@@ -48,6 +51,7 @@ def test_degree_topk_salted_equals_plain(kg_result, spark):
                for e in exchanges), plan
 
 
+@pytest.mark.heavy
 def test_multi_hop_frontier(spark):
     from llm_knowledge_graph_spark.plans.queries import multi_hop
     edges = spark.createDataFrame(
@@ -82,6 +86,7 @@ def test_find_by_name_contains(kg_result):
     assert all("doe" in r.id.lower() for r in rows)
 
 
+@pytest.mark.heavy
 def test_streaming_incremental_matches_batch(spark, tmp_path):
     """File-source streaming ingest produces the same triples as batch."""
     from llm_knowledge_graph_spark.operators import chunker, extract, html_text
@@ -153,6 +158,7 @@ def test_reconcile_entities_priority(spark):
     assert len(out) == 2
 
 
+@pytest.mark.heavy
 def test_kg_schema_samples_shape(spark, kg_result, monkeypatch):
     """Q1 sample rows (round 3): 10 node + 10 edge sample rows, stable
     4-column tagged-union schema, deterministic ordering."""

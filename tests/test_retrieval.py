@@ -4,6 +4,8 @@ properties the operators exist for."""
 
 from __future__ import annotations
 
+import pytest
+
 from llm_knowledge_graph_spark.operators.retrieval import (
     BM25_B_MILLI, BM25_K1_MILLI, RRF_K, bm25_scores, rrf_fuse)
 
@@ -43,6 +45,7 @@ DOCS.update({i: "plain filler text about nothing in particular"
 TERMS = ["join", "vector", "stream", "spark"]
 
 
+@pytest.mark.heavy
 def test_bm25_matches_python_twin(spark):
     df = spark.createDataFrame(list(DOCS.items()), "doc_id long, text string")
     got = {r.doc_id: r.bm25_micro
@@ -50,6 +53,7 @@ def test_bm25_matches_python_twin(spark):
     assert got == py_bm25(DOCS, TERMS)
 
 
+@pytest.mark.heavy
 def test_bm25_ranking_properties(spark):
     df = spark.createDataFrame(list(DOCS.items()), "doc_id long, text string")
     got = {r.doc_id: r.bm25_micro

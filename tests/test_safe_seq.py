@@ -13,6 +13,8 @@ routes through functions.text.safe_seq (ascending-or-empty).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -56,6 +58,7 @@ def test_word_edges_safe_on_single_word_doc(spark, tmp_path):
     assert sorted((r.a, r.b) for r in out) == [("x", "y"), ("y", "z")]
 
 
+@pytest.mark.heavy
 def test_shingle_arrays_match_python_grams_randomized(spark):
     """Exhaustive-ish fidelity: _word_shingle_arrays == Python slice
     grams over a seeded random corpus spanning 0..12 tokens (below,

@@ -3,6 +3,8 @@ and the detect→refine→enforce loop vs an explicit fixed-schema run."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -40,6 +42,7 @@ def test_spark_detect_matches_reference(spark, pages_df, fixture_pages):
     assert len(expected["relationships"]) >= 3
 
 
+@pytest.mark.heavy
 def test_detect_refine_enforce_reproduces_fixed_schema_run(spark, pages_df):
     """The auto_schema pipeline (detect → refine → strict-enforce) must
     equal a run given the detected schema explicitly as the fixed allowed

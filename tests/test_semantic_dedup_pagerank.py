@@ -36,6 +36,7 @@ def chain_embeddings(spark):
     return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
 
 
+@pytest.mark.heavy
 def test_semantic_dedup_closes_transitive_chain(chain_embeddings):
     from llm_knowledge_graph_spark.operators.dedup import semantic_dedup
     mapping = {r.id: r.rep
@@ -82,6 +83,7 @@ def test_semantic_dedup_matches_union_find_on_testdata(spark):
     assert got == expected
 
 
+@pytest.mark.heavy
 def test_semantic_dedup_long_chain_beyond_label_prop_cap(spark):
     """Review finding (round 3): semantic_dedup used label propagation
     with a 25-round cap, silently under-merging any near-dup chain of
@@ -123,6 +125,7 @@ def _python_pagerank(edges, n_iterations=10, damping_pct=85, scale=10 ** 12):
     return ranks
 
 
+@pytest.mark.heavy
 def test_pagerank_exact_matches_python_oracle(spark):
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
              ("d", "c"), ("d", "a"), ("e", "d")]
@@ -134,6 +137,7 @@ def test_pagerank_exact_matches_python_oracle(spark):
     assert got["c"] > got["e"]
 
 
+@pytest.mark.heavy
 def test_pagerank_exact_is_deterministic_across_partitioning(spark):
     """Bit-identical rank_units at different parallelism — the integer
     arithmetic removes float-sum order sensitivity (the property the
@@ -148,6 +152,7 @@ def test_pagerank_exact_is_deterministic_across_partitioning(spark):
     assert r1 == r8 == _python_pagerank(edges, n_iterations=5)
 
 
+@pytest.mark.heavy
 def test_triangle_count_known_graphs(spark):
     from llm_knowledge_graph_spark.operators.components import triangle_count
 
@@ -173,6 +178,7 @@ def test_triangle_count_known_graphs(spark):
     assert r.n_triangles == 1
 
 
+@pytest.mark.heavy
 def test_semantic_dedup_lsh_scale_path_same_clusters(spark):
     """The LSH pair generator (scale path) must feed semantic_dedup to the
     SAME clusters as the brute-force baseline when LSH recall is 1.0 —
@@ -196,6 +202,7 @@ def test_semantic_dedup_lsh_scale_path_same_clusters(spark):
     assert all(via_lsh[v + 1000] == v for v in range(100))
 
 
+@pytest.mark.heavy
 def test_triangle_count_random_graphs_property(spark):
     """Randomized cross-check of the degree-ordered wedge closure against
     a plain-Python triangle enumerator (fixed seeds — deterministic)."""
@@ -222,6 +229,7 @@ def test_triangle_count_random_graphs_property(spark):
             len(adj), len(simple), expected), f"seed={seed}"
 
 
+@pytest.mark.heavy
 def test_bfs_distances_min_depth_and_cap(spark):
     """BFS must emit each vertex at its MINIMAL distance (the anti-join
     contract), honor the depth cap, ignore unreachable vertices, and
@@ -251,6 +259,7 @@ def test_bfs_distances_min_depth_and_cap(spark):
     assert multi == {"s": 0, "c": 0, "a": 1, "b": 1, "d": 1}
 
 
+@pytest.mark.heavy
 def test_k_core_peels_cascade(spark):
     """Clique K4 + a pendant chain: the 3-core is exactly the clique,
     and the chain peels over MULTIPLE rounds (a one-round degree filter

@@ -9,6 +9,8 @@ bloom filter — each checked two ways:
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -97,6 +99,7 @@ def test_hll_matches_python_twin_and_error_bound(spark):
     assert 80 <= got["small"] <= 500
 
 
+@pytest.mark.heavy
 def test_hll_ignores_duplicates_exactly(spark):
     # the estimate is a pure function of the DISTINCT set
     once = spark.createDataFrame(
@@ -111,6 +114,7 @@ def test_hll_ignores_duplicates_exactly(spark):
 # count-min
 # ---------------------------------------------------------------------------
 
+@pytest.mark.heavy
 def test_cms_never_undercounts_and_matches_twin(spark):
     import random
     rng = random.Random(7)
@@ -127,6 +131,7 @@ def test_cms_never_undercounts_and_matches_twin(spark):
         assert got[w] >= counts[w]          # CMS upper-bound invariant
 
 
+@pytest.mark.heavy
 def test_cms_unseen_items_estimate_zero_or_collisions(spark):
     # A probe item never inserted must still get a row, with est = min
     # over its d cells COUNTING EMPTY CELLS AS 0 — the regression here
@@ -162,6 +167,7 @@ def test_cms_grid_is_bounded(spark):
 # bloom
 # ---------------------------------------------------------------------------
 
+@pytest.mark.heavy
 def test_bloom_no_false_negatives_and_matches_twin(spark):
     block = [f"blocked-{i}" for i in range(300)]
     clean = [f"clean-{i}" for i in range(2000)]
@@ -187,6 +193,7 @@ def test_bloom_no_false_negatives_and_matches_twin(spark):
 # mergeability — the property that makes sketches work across shards
 # ---------------------------------------------------------------------------
 
+@pytest.mark.heavy
 def test_hll_registers_merge_by_max(spark):
     from llm_knowledge_graph_spark.operators.sketches import (
         hll_estimate, hll_registers)
@@ -203,6 +210,7 @@ def test_hll_registers_merge_by_max(spark):
     assert via_merge == whole
 
 
+@pytest.mark.heavy
 def test_cms_grids_merge_by_sum(spark):
     counts = {f"w{i}": (i % 17) + 1 for i in range(2000)}
     df = spark.createDataFrame(list(counts.items()), "w string, cnt long")
@@ -220,6 +228,7 @@ def test_cms_grids_merge_by_sum(spark):
     assert via_merge == whole
 
 
+@pytest.mark.heavy
 def test_bloom_bitmaps_merge_by_or(spark):
     a_keys = [f"a{i}" for i in range(100)]
     b_keys = [f"b{i}" for i in range(100)]
@@ -279,6 +288,7 @@ def test_hist_quantiles_match_twin_and_bracket_truth(spark):
         assert got[p] <= truth < got[p] + W
 
 
+@pytest.mark.heavy
 def test_hist_bins_merge_by_sum(spark):
     from pyspark.sql import functions as F2
     from llm_knowledge_graph_spark.operators.sketches import (

@@ -6,6 +6,8 @@ documents table."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 
@@ -83,6 +85,7 @@ def test_span_removal_overlap_covers_first_witness_tokens(spark):
                       hashlib.md5(b"a b").hexdigest())
 
 
+@pytest.mark.heavy
 def test_span_removal_matches_python_randomized(spark):
     import random
     rng = random.Random(11)
@@ -94,6 +97,7 @@ def test_span_removal_matches_python_randomized(spark):
         assert _got(spark, corpus, n) == _py_remove_spans(corpus, n), n
 
 
+@pytest.mark.heavy
 def test_span_removal_except_equals_scan_twin_worst_case(spark):
     """Round-5 de-quadratic fix: the default array_except/element_at
     reconstruction must be bit-identical to the original O(L*R)

@@ -4,6 +4,9 @@ drained-stream vs batch equality, and cross-batch first-seen semantics."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.heavy  # round-5 core/heavy split
+
 from pyspark.sql import functions as F
 
 

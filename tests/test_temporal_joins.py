@@ -93,6 +93,7 @@ class TestAsofJoin:
         return sorted((r.event_id, r.v, r.gap) for r in rows)
 
     @pytest.mark.parametrize("how", ["inner", "left"])
+    @pytest.mark.heavy
     def test_randomized_matches_oracle(self, spark, how):
         rng = random.Random(7)
         lrows = _rand_events(rng, 300, 12, 10_000_000)
@@ -101,6 +102,7 @@ class TestAsofJoin:
         assert self._run(spark, lrows, rrows, how) == \
             self._oracle(lrows, rrows, how)
 
+    @pytest.mark.heavy
     def test_edges_inclusive_bound_and_subsecond(self, spark):
         # user 1: purchase exactly AT the click ts (inclusive → matches),
         # user 2: purchase 1us AFTER the click (no match),
@@ -132,6 +134,7 @@ class TestRangeJoinBucketed:
         assert len(pairs) == len(set(pairs)), "duplicate candidate pairs"
         assert sorted(pairs) == want
 
+    @pytest.mark.heavy
     def test_randomized_matches_bruteforce(self, spark):
         rng = random.Random(11)
         lrows = [(e, u, us) for e, u, us in _rand_events(rng, 250, 8,

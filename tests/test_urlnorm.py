@@ -4,6 +4,8 @@ hand-picked alias families and a generated cross-product of URL parts."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -72,6 +74,7 @@ def test_canonical_url_matches_python_oracle(spark):
         assert got[u] == _py_canonical(u), u
 
 
+@pytest.mark.heavy
 def test_canonical_url_collapses_alias_families(spark):
     from llm_knowledge_graph_spark.operators.urlnorm import (
         with_canonical_url)
@@ -132,6 +135,7 @@ def test_url_dup_stats(spark):
     assert out == {"http://a.com/p?x=1": (4, 3)}
 
 
+@pytest.mark.heavy
 def test_domain_cap_sample_is_layout_invariant(spark):
     """The kept set is a pure function of (domain, id) — repartitioning
     the input must not change which docs survive the quota."""
