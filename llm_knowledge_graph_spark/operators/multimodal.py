@@ -111,14 +111,16 @@ def _png_decode(data: bytes) -> np.ndarray:
     grey/RGB, non-interlaced) with FULL filter support (types 0-4) and a
     CRC check per chunk. Returns uint8 (h, w, channels).
 
-    Known limitation (round-5 ADVICE): the left-dependent filter rows
-    (Sub/Average/Paeth) unfilter with a per-pixel Python loop over the
-    stride — O(h*w*ch) interpreted Python per image inside the
-    mapInPandas hot path. Acceptable for the bounded synthetic test
-    corpus (24 tiny images); at real-payload scale this operator would
-    swap in libpng/Pillow behind the same UDF signature (the Spark-side
-    plumbing — schema, partitioning, Arrow batch shape — is what this
-    stdlib decoder proves). The None/Up paths are already vectorized."""
+    Known limitation (round-5 ADVICE): the Average/Paeth filter rows
+    unfilter with a per-pixel Python loop over the stride — their
+    predictors are nonlinear in the already-reconstructed left
+    neighbour, so the recurrence doesn't vectorize. Acceptable for the
+    bounded synthetic test corpus (24 tiny images); at real-payload
+    scale this operator would swap in libpng/Pillow behind the same UDF
+    signature (the Spark-side plumbing — schema, partitioning, Arrow
+    batch shape — is what this stdlib decoder proves). The None/Up
+    paths are vectorized mod-256 adds, and Sub is a per-channel-lane
+    uint8 cumsum (wraparound accumulation IS the mod-256 recurrence)."""
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
     ihdr = None
@@ -162,14 +164,15 @@ def _png_decode(data: bytes) -> np.ndarray:
             cur = line
         elif f == 2:                      # Up: vectorized mod-256 add
             cur = line + prev
-        elif f in (1, 3, 4):              # left-dependent: sequential in x
+        elif f == 1:                      # Sub: per-lane uint8 cumsum
+            cur = np.cumsum(line.reshape(w, ch), axis=0,
+                            dtype=np.uint8).reshape(stride)
+        elif f in (3, 4):                 # left-dependent: sequential in x
             cur = line.astype(np.int32)
             pv = prev.astype(np.int32)
             for x in range(stride):
                 a = int(cur[x - ch]) if x >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + int(pv[x])) >> 1
                 else:
                     c = int(pv[x - ch]) if x >= ch else 0
