@@ -146,7 +146,17 @@ def main():
     lo_list = ", ".join(f"{x:.1f}s" for x in lo_times)
     hi_list = ", ".join(f"{x:.1f}s" for x in hi_times)
     os.makedirs(REPO / "BENCH", exist_ok=True)
-    with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
+    # regenerate only the headline block; everything from the first
+    # appended "## " section onward (cross-round measurement log,
+    # per-operator scaling, probes) is history and must survive reruns
+    baseline = REPO / "BENCH" / "BASELINE.md"
+    history = ""
+    if baseline.exists():
+        old = baseline.read_text()
+        cut = old.find("\n## ")
+        if cut != -1:
+            history = old[cut:]
+    with open(baseline, "w") as f:
         f.write(f"""# BENCH/BASELINE — two-parallelism scaling (north rule)
 
 Same job (full KG construction: fused html→text/chunk/extract →
@@ -192,6 +202,7 @@ Sandbox proxy notes:
   {n:,}-page run amortizes it, which is the regime the engine targets
   (the north rule's 10^12-doc corpus is 10^5x larger still).
 """)
+        f.write(history)
 
 
 if __name__ == "__main__":
