@@ -60,9 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose most recent record is two rounds old (evidence goes
 # stale oldest-first). Everything recorded LAST round moves past the
 # budget line; what doesn't fit in the 50 slots goes to _R{N+1}_PRIORITY
-# — the explicit head of the NEXT round's rotation. With a ~119-query
+# — the explicit head of the NEXT round's rotation. With a ~120-query
 # surface and 50 slots, steady-state evidence age is bounded by
-# ceil(119/50) = 3 rounds (each round re-records the oldest ~50, so a
+# ceil(120/50) = 3 rounds (each round re-records the oldest ~50, so a
 # query waits at most two rounds between records once the never-
 # recorded backlog is drained), and changed code always re-records
 # immediately.
