@@ -79,6 +79,13 @@ _FRONT = [
     # ... and the five kg queries made self-verifying this round
     "kg_multi_hop", "kg_node_counts", "kg_edge_counts",
     "kg_chunk_cosine_topk", "kg_node_cosine_topk",
+    # ... and the six kg queries hardened by the round-5 KG edge-corpus
+    # smoke (layout-robust streaming, corpus-derived gates, nonzero-norm
+    # ANN query split, corpus-scaled IVF nlist) — outputs preserved on
+    # the driver testdata, re-recorded per the changed-code rule
+    "kg_ann_lsh_topk", "kg_ann_ivf_topk", "kg_cosine_near_dup_lsh",
+    "kg_streaming_lang_counts", "kg_streaming_first_seen",
+    "kg_simhash_pairs",
     # (c) stale: last recorded in round 2 (the promoted _R5_PRIORITY
     # backlog plus the two r2-latest stragglers) — after this round no
     # query's evidence is older than round 3
@@ -98,13 +105,15 @@ _FRONT = [
     "cosine_topk_sq8", "doc_blocklist_bloom", "doc_bm25_topk",
     "doc_decontamination", "doc_dup_span_mass", "doc_filter_funnel",
     "doc_hybrid_rrf", "doc_length_quantiles", "doc_pack_bins",
-    "doc_pii_redaction", "doc_repetition_stats", "doc_semantic_dedup",
-    "doc_shingle_components",
 ]
 # round-3-latest queries that did not fit the 50 _FRONT slots — ROUND 6:
 # these head the rotation, followed by the round-4/5 recorded queries as
-# their evidence turns two rounds old.
+# their evidence turns two rounds old. (The four doc_p*/doc_s* entries
+# at the head were displaced from _FRONT group (d) when the six
+# edge-smoke-hardened kg queries took changed-code precedence.)
 _R6_PRIORITY = [
+    "doc_pii_redaction", "doc_repetition_stats", "doc_semantic_dedup",
+    "doc_shingle_components",
     "doc_stratified_sample", "doc_surprisal_topk",
     "doc_taxonomy_classification", "doc_train_split",
     "domain_cap_rollup", "dup_cluster_histogram",

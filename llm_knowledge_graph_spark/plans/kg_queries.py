@@ -318,6 +318,23 @@ def _assert_planted_ann_recall(spark, corpus, qvec, ann_fn, label: str,
             f"(got={sorted(got)})")
 
 
+def _ann_query_split(e):
+    """(qvec, corpus) for the ANN queries: the LOWEST vec_id with a
+    nonzero norm is the query vector, the rest are the corpus. On the
+    driver testdata that is vec_id 0 exactly as before (output
+    preserving); on a degenerate corpus (round-5 KG edge smoke) it no
+    longer crashes on a missing vec_id 0 or gates recall against a
+    zero query vector, under which cosine is undefined."""
+    nrm = F.aggregate("embedding", F.lit(0.0),
+                      lambda acc, x: acc + x.cast("double") * x)
+    q = (e.select("vec_id", "embedding").withColumn("nrm", nrm)
+         .filter(F.col("nrm") > 0).orderBy("vec_id").first())
+    if q is None:
+        raise ValueError("ANN query: every embedding has zero norm — "
+                         "cosine top-k is undefined on this corpus")
+    return q.embedding, e.filter(F.col("vec_id") != q.vec_id)
+
+
 def kg_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (scale path of
     cosine_topk; rows-only — approximate by design). SELF-VERIFYING:
@@ -325,8 +342,7 @@ def kg_ann_lsh_topk(spark, sf_dir):
     returning (see _assert_planted_ann_recall)."""
     from ..operators.similarity import lsh_ann_topk
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first().embedding
-    corpus = e.filter(F.col("vec_id") != 0)
+    qvec, corpus = _ann_query_split(e)
     _assert_planted_ann_recall(
         spark, corpus, qvec, lambda u: lsh_ann_topk(u, qvec, k=10),
         label="kg_ann_lsh_topk")
@@ -339,21 +355,33 @@ def kg_cosine_near_dup_lsh(spark, sf_dir):
     Planted exact duplicates (vec_id+100000, same vector) land in the same
     bucket of every table, so LSH recall on them is exactly 1.0 — the
     returned pairs are the planted (i, i+100000) set plus any true
-    >=0.99-cosine pairs in the data. SELF-VERIFYING (round 4): every one
-    of the 200 planted pairs is asserted present before returning."""
+    >=0.99-cosine pairs in the data. SELF-VERIFYING (round 4; hardened
+    round 5 after the KG edge-corpus smoke): the planted want-set is the
+    ids ACTUALLY present with nonzero norm — not a hardcoded range(200),
+    which raised on any corpus with fewer rows — zero-norm vectors are
+    excluded from planting (cosine is undefined on them so the operator
+    rightly never emits their pair), and connectivity is checked by
+    union-find (exact duplicates among the source vectors may connect a
+    planted pair through a third vector rather than directly)."""
     from ..operators.similarity import lsh_cosine_near_dup_pairs
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .filter(F.col("vec_id") < 200).select("vec_id", "embedding")
-    planted = e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    nrm = F.aggregate("embedding", F.lit(0.0),
+                      lambda acc, x: acc + x.cast("double") * x)
+    base = e.withColumn("nrm", nrm).filter(F.col("nrm") > 0) \
+        .select("vec_id", "embedding")
+    planted_ids = [r.vec_id for r in base.select("vec_id").collect()]
+    planted = base.select((F.col("vec_id") + 100000).alias("vec_id"),
+                          "embedding")
     out = (lsh_cosine_near_dup_pairs(e.unionByName(planted), threshold=0.99)
            .orderBy("a", "b").localCheckpoint())
     got = {(r.a, r.b) for r in out.collect()}
-    missing = [(i, i + 100000) for i in range(200)
-               if (i, i + 100000) not in got]
+    missing = _planted_connected(
+        got, [(i, i + 100000) for i in planted_ids])
     if missing:
         raise AssertionError(
             f"cosine-LSH planted-duplicate recall breach: "
-            f"missing {len(missing)} pairs, e.g. {missing[:5]}")
+            f"disconnected {len(missing)} pairs, e.g. {missing[:5]}")
     return out
 
 
@@ -362,16 +390,48 @@ def kg_ann_ivf_topk(spark, sf_dir):
     hyperplane-LSH variant; rows-only — approximate by design): coarse
     centroids + n_probe cell pruning. SELF-VERIFYING: planted-neighbor
     recall@10 >= 0.9 is asserted in-query before returning (see
-    _assert_planted_ann_recall)."""
+    _assert_planted_ann_recall).
+
+    nlist scales with corpus size (round 5 — KG edge-corpus smoke): a
+    fixed n_centroids=16 over a handful of vectors puts ~one vector per
+    cell, so a 4-cell probe legitimately misses most planted neighbors
+    and the gate raised on a healthy operator. Standard IVF practice
+    ties nlist to N; here n_centroids = min(16, max(1, N // 4)) — the
+    driver testdata (N >= 64) keeps the original 16/4, so recorded
+    output is unchanged."""
     from ..operators.similarity import ivf_ann_topk
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first().embedding
-    corpus = e.filter(F.col("vec_id") != 0)
+    qvec, corpus = _ann_query_split(e)
+    n_centroids = min(16, max(1, e.count() // 4))
+    n_probe = min(4, n_centroids)
     _assert_planted_ann_recall(
         spark, corpus, qvec,
-        lambda u: ivf_ann_topk(u, qvec, k=10, n_centroids=16, n_probe=4),
+        lambda u: ivf_ann_topk(u, qvec, k=10, n_centroids=n_centroids,
+                               n_probe=n_probe),
         label="kg_ann_ivf_topk")
-    return ivf_ann_topk(corpus, qvec, k=10, n_centroids=16, n_probe=4)
+    return ivf_ann_topk(corpus, qvec, k=10, n_centroids=n_centroids,
+                        n_probe=n_probe)
+
+
+def _stream_documents(spark, sf_dir):
+    """File-source stream over the documents table, robust to BOTH
+    parquet layouts (round 5 — found by the KG edge-corpus smoke): the
+    driver testdata ships a SINGLE FILE `{sf_dir}/documents.parquet`
+    (FileStreamSource rejects a plain file as basePath, so that layout
+    must stream the parent dir with a pathGlobFilter), while any
+    Spark-written corpus is a DIRECTORY of part files (where the same
+    glob matches nothing and the stream silently drains zero rows —
+    the in-query batch-parity gates caught exactly that). Local-FS
+    isdir probe is fine here; at scale tables are always directories
+    and the first branch is dead."""
+    import os
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return (spark.readStream.schema(schema)
+                .option("pathGlobFilter", "*.parquet").parquet(path))
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
 
 
 def kg_streaming_lang_counts(spark, sf_dir):
@@ -381,10 +441,7 @@ def kg_streaming_lang_counts(spark, sf_dir):
     an availableNow trigger (bounded, deterministic: the stream drains the
     existing files and stops). Exercises readStream → agg → writeStream,
     the same machinery as streaming/ingest.py's incremental KG ingest."""
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "documents.parquet")
-              .parquet(sf_dir))
+    stream = _stream_documents(spark, sf_dir)
     agg = stream.groupBy("lang").agg(F.count("*").alias("n_docs"))
     q = (agg.writeStream.format("memory")
          .queryName("kg_stream_lang_counts")
@@ -448,9 +505,7 @@ def kg_streaming_first_seen(spark, sf_dir):
     import tempfile
 
     from ..streaming.windowed import streaming_first_seen
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    stream = _stream_documents(spark, sf_dir)
     import shutil
 
     out = streaming_first_seen(stream)
