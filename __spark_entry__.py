@@ -60,9 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose most recent record is two rounds old (evidence goes
 # stale oldest-first). Everything recorded LAST round moves past the
 # budget line; what doesn't fit in the 50 slots goes to _R{N+1}_PRIORITY
-# — the explicit head of the NEXT round's rotation. With a ~120-query
+# — the explicit head of the NEXT round's rotation. With a ~121-query
 # surface and 50 slots, steady-state evidence age is bounded by
-# ceil(120/50) = 3 rounds (each round re-records the oldest ~50, so a
+# ceil(121/50) = 3 rounds (each round re-records the oldest ~50, so a
 # query waits at most two rounds between records once the never-
 # recorded backlog is drained), and changed code always re-records
 # immediately.
@@ -74,6 +74,7 @@ _FRONT = [
     "doc_dup_span_removal",        # CHANGED: O(L+R) array_except rebuild
     "doc_backoff_lm",              # CHANGED: shared scoring-tail refactor
     "golden_artifact_stats",       # CHANGED: nullif doc_id fallback
+    "golden_debug_artifact_stats",  # NEW: second reference artifact
     "kg_minhash_near_dup_docs",    # CHANGED: shingleable planted gate
     "kg_degree_top25",             # CHANGED: checkpointed single-compute
     # ... and the five kg queries made self-verifying this round
@@ -104,7 +105,7 @@ _FRONT = [
     "bpe_compression", "bpe_merges", "brand_revenue_salted",
     "cosine_topk_sq8", "doc_blocklist_bloom", "doc_bm25_topk",
     "doc_decontamination", "doc_dup_span_mass", "doc_filter_funnel",
-    "doc_hybrid_rrf", "doc_length_quantiles", "doc_pack_bins",
+    "doc_hybrid_rrf", "doc_length_quantiles",
 ]
 # round-3-latest queries that did not fit the 50 _FRONT slots — ROUND 6:
 # these head the rotation, followed by the round-4/5 recorded queries as
@@ -112,6 +113,7 @@ _FRONT = [
 # at the head were displaced from _FRONT group (d) when the six
 # edge-smoke-hardened kg queries took changed-code precedence.)
 _R6_PRIORITY = [
+    "doc_pack_bins",
     "doc_pii_redaction", "doc_repetition_stats", "doc_semantic_dedup",
     "doc_shingle_components",
     "doc_stratified_sample", "doc_surprisal_topk",

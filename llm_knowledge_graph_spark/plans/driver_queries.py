@@ -3877,6 +3877,47 @@ ORACLE_SQL["golden_artifact_stats"] = """
 SQL_QUERIES["golden_artifact_stats"] = q_golden_artifact_stats
 
 
+def q_golden_debug_artifact_stats(spark, sf_dir):
+    """Round-5 parity evidence against the reference's SECOND real
+    output: graph_docs_debug.json is the LLMGraphTransformer
+    serialization (nested source/target relationship structs, LangChain
+    Document source — written by ref code/romeo-juliet/test_single_query
+    .py:27-28 over the Romeo & Juliet PDF; 123 page-docs, 710 nodes,
+    714 relationships). Parsed through the engine's second S4
+    compatibility reader and HASH-verified against DuckDB's independent
+    read_json parse of the same bytes — together with
+    golden_artifact_stats, BOTH serializations the reference emits are
+    value-verified through the engine."""
+    from ..sources.golden_json import (read_reference_debug_graph_docs,
+                                       reference_debug_graph_docs_to_tables)
+    gd = read_reference_debug_graph_docs(
+        spark, "/root/reference/graph_docs_debug.json")
+    nodes, edges = reference_debug_graph_docs_to_tables(gd)
+    n = (nodes.groupBy(F.col("type").alias("name"))
+         .agg(F.count("*").alias("n"))
+         .select(F.lit("node").alias("kind"), "name", "n"))
+    e = (edges.groupBy(F.col("pred").alias("name"))
+         .agg(F.count("*").alias("n"))
+         .select(F.lit("edge").alias("kind"), "name", "n"))
+    return n.unionByName(e).orderBy("kind", "name")
+
+
+ORACLE_SQL["golden_debug_artifact_stats"] = """
+    WITH gd AS (SELECT * FROM read_json_auto(
+            '/root/reference/graph_docs_debug.json',
+            maximum_object_size=104857600)),
+    n AS (SELECT unnest(nodes) AS node FROM gd),
+    r AS (SELECT unnest(relationships) AS rel FROM gd)
+    SELECT 'node' AS kind, node.type AS name, COUNT(*) AS n
+    FROM n GROUP BY 2
+    UNION ALL
+    SELECT 'edge' AS kind, rel.type AS name, COUNT(*) AS n
+    FROM r GROUP BY 2
+    ORDER BY kind, name
+"""
+SQL_QUERIES["golden_debug_artifact_stats"] = q_golden_debug_artifact_stats
+
+
 def q_doc_novelty_scores(spark, sf_dir):
     """First-witness n-gram novelty (round 4): per doc, the fraction of
     its DISTINCT word 5-grams whose first witness (min doc_id) is the

@@ -166,6 +166,70 @@ def reference_graph_docs_to_tables(gd: DataFrame):
     return nodes, edges
 
 
+# ---------------------------------------------------------------------
+# Second reference artifact (round 5): graph_docs_debug.json is the
+# OTHER serialization the reference emits — LLMGraphTransformer graph
+# docs dumped via model_dump() (ref code/romeo-juliet/test_single_query
+# .py:27-28): relationships carry NESTED source/target node structs
+# (not flat source_id/source_type fields), and `source` is a LangChain
+# Document object (metadata.page is the natural doc key; every one of
+# the 123 page-docs has a distinct page), not a text string.
+_DBG_REL = T.StructType([
+    T.StructField("source", _NODE),
+    T.StructField("target", _NODE),
+    T.StructField("type", T.StringType()),
+    T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+])
+_DBG_SOURCE = T.StructType([
+    T.StructField("metadata", T.StructType([
+        T.StructField("page", T.LongType()),
+        T.StructField("total_pages", T.LongType()),
+        T.StructField("source", T.StringType()),
+    ])),
+    T.StructField("page_content", T.StringType()),
+])
+DBG_GRAPH_DOC_SCHEMA = T.StructType([
+    T.StructField("nodes", T.ArrayType(_NODE)),
+    T.StructField("relationships", T.ArrayType(_DBG_REL)),
+    T.StructField("source", _DBG_SOURCE),
+])
+
+
+def read_reference_debug_graph_docs(spark: SparkSession,
+                                    path: str) -> DataFrame:
+    """S4 against the reference's second real artifact
+    (graph_docs_debug.json, Romeo & Juliet): one row per LLMGraph-
+    Transformer GraphDocument with (doc_id := source page, nodes,
+    relationships, source_text)."""
+    gd = (spark.read.schema(DBG_GRAPH_DOC_SCHEMA)
+          .option("multiLine", "true").json(path))
+    return gd.select(
+        F.col("source.metadata.page").alias("doc_id"),
+        "nodes", "relationships",
+        F.col("source.page_content").alias("source_text"))
+
+
+def reference_debug_graph_docs_to_tables(gd: DataFrame):
+    """Project the debug artifact onto the engine's flat nodes/edges
+    contract (same columns reference_graph_docs_to_tables emits, so the
+    merge/linking/query operators consume either artifact unchanged)."""
+    url = F.concat(F.lit("golden-debug://"), F.col("doc_id")).alias("url")
+    nodes = (gd.select("doc_id", F.explode("nodes").alias("n"))
+             .select(F.col("n.id").alias("id"),
+                     F.col("n.type").alias("type"),
+                     F.col("n.properties").alias("properties"),
+                     url, F.col("doc_id").alias("chunk_id")))
+    edges = (gd.select("doc_id", F.explode("relationships").alias("e"))
+             .select(F.col("e.source.id").alias("subj"),
+                     F.col("e.source.type").alias("subj_type"),
+                     F.col("e.type").alias("pred"),
+                     F.col("e.target.id").alias("obj"),
+                     F.col("e.target.type").alias("obj_type"),
+                     F.col("e.properties").alias("properties"),
+                     url, F.col("doc_id").alias("chunk_id")))
+    return nodes, edges
+
+
 def reference_chunk_embeddings(nodes: DataFrame) -> DataFrame:
     """Recover the typed 3072-float chunk embeddings from the stringified
     property map — the same (url, chunk_id, embedding array<float>) shape
