@@ -109,9 +109,10 @@ _FRONT = [
 ]
 # round-3-latest queries that did not fit the 50 _FRONT slots — ROUND 6:
 # these head the rotation, followed by the round-4/5 recorded queries as
-# their evidence turns two rounds old. (The four doc_p*/doc_s* entries
+# their evidence turns two rounds old. (The five doc_p*/doc_s* entries
 # at the head were displaced from _FRONT group (d) when the six
-# edge-smoke-hardened kg queries took changed-code precedence.)
+# edge-smoke-hardened kg queries and the second-artifact query took
+# changed-code precedence.)
 _R6_PRIORITY = [
     "doc_pack_bins",
     "doc_pii_redaction", "doc_repetition_stats", "doc_semantic_dedup",
