@@ -80,3 +80,55 @@ def test_source_text_survives(dbg_gd):
     empty = [r.doc_id for r in
              dbg_gd.filter(F.length("source_text") == 0).collect()]
     assert empty == [2]
+
+
+@pytest.mark.heavy
+def test_entity_linking_on_real_extracted_entities(dbg_gd, spark):
+    """The north star's coreference problem on REAL LLM-extracted
+    entities: the debug artifact carries genuine extraction
+    inconsistencies (an underscored duplicate, a unicode-apostrophe
+    variant, a truncated organization name). At threshold 0.6 the
+    engine's MinHash-LSH + trigram-Jaccard linking finds EXACTLY the
+    four true coreference pairs — and does NOT link the near-miss
+    distinct characters ('Lady Montague' vs 'Montague', 'Count Paris'
+    vs 'County Paris') — and canonicalization merges each pair to one
+    canonical id."""
+    from llm_knowledge_graph_spark.operators.components import \
+        canonical_mapping
+    from llm_knowledge_graph_spark.operators.linking import \
+        similarity_edges
+    from llm_knowledge_graph_spark.sources.golden_json import \
+        reference_debug_graph_docs_to_tables
+    nodes, _ = reference_debug_graph_docs_to_tables(dbg_gd)
+    ents = nodes.select("type", "id").distinct()
+    se = similarity_edges(
+        ents, threshold=0.6,
+        link_types=("Person", "Organization", "Place", "Location",
+                    "Character"))
+    got = {(r.type, frozenset((r.a, r.b))) for r in se.collect()}
+    want = {
+        ("Organization",
+         frozenset(("Folger Shakespeare", "Folger Shakespeare Library"))),
+        ("Person", frozenset(("Second Servingman", "Second_Servingman"))),
+        ("Location",
+         frozenset(("Capels' Monument", "Capels’ Monument"))),
+        ("Person",
+         frozenset(("Capulet'S Cousin", "Capulet’S Cousin"))),
+    }
+    assert got == want
+
+    cm = canonical_mapping(ents, se)
+    canon = {(r.type, r.id): r.canonical_id for r in cm.collect()}
+    # absent id ⇒ identity (cluster representatives map to themselves
+    # and are omitted from the mapping — rewrite_canonical coalesces)
+    for t, pair in want:
+        a, b = sorted(pair)
+        assert canon.get((t, a), a) == canon.get((t, b), b)
+    # near-miss distinct characters stay distinct (absent from the
+    # mapping entirely = identity: they were never linked)
+    for t, a, b in [("Person", "Lady Montague", "Montague"),
+                    ("Person", "Count Paris", "County Paris"),
+                    ("Person", "Romeo", "Juliet")]:
+        ca = canon.get((t, a), a)
+        cb = canon.get((t, b), b)
+        assert ca != cb
