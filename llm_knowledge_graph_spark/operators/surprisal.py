@@ -170,7 +170,19 @@ def stupid_backoff_bits_head_broadcast(train: DataFrame, score: DataFrame,
     100 TB the checkpoint becomes a persist(DISK) and head_k grows to
     whatever fits the broadcast budget (a few hundred MB covers the
     head of web-scale counts — Brants et al.'s sharding trick
-    inverted)."""
+    inverted).
+
+    Disclosed trade (round-5 self-review): the three NESTED hit/miss
+    splits each reference their input twice (matched + missed branch of
+    the union), and Spark does not dedupe common subplans below a
+    union, so the checkpointed event scan plus the earlier splits'
+    broadcast joins are re-executed up to 2^3 times in the final plan.
+    That read amplification is deliberate: every re-execution is a
+    sequential scan + map-side broadcast join (no shuffle), bought so
+    that ONLY the head-miss residue rows ever enter a shuffle join —
+    the skewed Zipf-head keys never shuffle at all. Measured at sf0.1:
+    4.8 s vs the plain form's 4.1 s; the plain three-join form stays
+    the default and this variant is the skew escape hatch."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     from ..functions.text import safe_seq
     pairs = F.transform(
