@@ -105,16 +105,15 @@ _FRONT = [
     "bpe_compression", "bpe_merges", "brand_revenue_salted",
     "cosine_topk_sq8", "doc_blocklist_bloom", "doc_bm25_topk",
     "doc_decontamination", "doc_dup_span_mass", "doc_filter_funnel",
-    "doc_hybrid_rrf", "doc_length_quantiles",
 ]
 # round-3-latest queries that did not fit the 50 _FRONT slots — ROUND 6:
 # these head the rotation, followed by the round-4/5 recorded queries as
-# their evidence turns two rounds old. (The five doc_p*/doc_s* entries
-# at the head were displaced from _FRONT group (d) when the six
-# edge-smoke-hardened kg queries and the second-artifact query took
-# changed-code precedence.)
+# their evidence turns two rounds old. (The seven doc_* entries at the
+# head were displaced from _FRONT group (d) when the six edge-smoke-
+# hardened kg queries and the second-artifact query took changed-code
+# precedence — _FRONT stays exactly 50, the recording budget.)
 _R6_PRIORITY = [
-    "doc_pack_bins",
+    "doc_hybrid_rrf", "doc_length_quantiles", "doc_pack_bins",
     "doc_pii_redaction", "doc_repetition_stats", "doc_semantic_dedup",
     "doc_shingle_components",
     "doc_stratified_sample", "doc_surprisal_topk",
